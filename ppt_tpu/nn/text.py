@@ -1,0 +1,156 @@
+"""CLIP text tower, flax.linen, checkpoint-compatible with SLIP weights.
+
+Architecture (reference ``models/ULIP_models.py:154-230``): vocab-49408
+token embedding, learned positional embedding over 77 positions, 12
+pre-norm residual blocks (width 512, 8 heads, QuickGELU MLP, fused-QKV
+attention, causal mask), fp32 final LayerNorm, EOT-token pooling, and a
+learned ``text_projection`` to the joint embedding space.
+
+TPU notes: the whole prompt batch ``[num_classes, 77, 512]`` is one
+forward — all matmuls are MXU-shaped; the causal mask is a compile-time
+constant; attention uses ``jax.nn.dot_product_attention`` so XLA can pick
+its fused path. Params stay f32 (frozen CLIP weights); activations can run
+bf16 via ``dtype``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ppt_tpu.nn.layers import LayerNormF32, quick_gelu
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    embed_dim: int = 512  # joint space
+
+
+class FusedQKVAttention(nn.Module):
+    """Multi-head self-attention with a fused QKV projection.
+
+    Mirrors torch ``nn.MultiheadAttention``'s parameter layout
+    (``in_proj`` = concatenated q/k/v, plus ``out_proj``) so SLIP text
+    checkpoints convert one-to-one.
+    """
+
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        B, L, D = x.shape
+        head_dim = D // self.heads
+        qkv = nn.Dense(3 * D, dtype=self.dtype, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_split(t):
+            return t.reshape(B, L, self.heads, head_dim)
+
+        q, k, v = heads_split(q), heads_split(k), heads_split(v)
+        bias = None
+        if mask is not None:
+            bias = mask[None, None, :, :].astype(jnp.float32)
+        out = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        out = out.reshape(B, L, D)
+        return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+
+
+class TextBlock(nn.Module):
+    """Pre-norm residual attention block (``ResidualAttentionBlock``,
+    reference ``models/ULIP_models.py:35-56``)."""
+
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        D = x.shape[-1]
+        y = LayerNormF32(name="ln_1")(x)
+        x = x + FusedQKVAttention(self.heads, dtype=self.dtype, name="attn")(y, mask)
+        y = LayerNormF32(name="ln_2")(x)
+        h = nn.Dense(4 * D, dtype=self.dtype, name="c_fc")(y)
+        h = quick_gelu(h)
+        h = nn.Dense(D, dtype=self.dtype, name="c_proj")(h)
+        return x + h
+
+
+def causal_mask(length: int) -> np.ndarray:
+    """Additive causal mask, -inf above the diagonal
+    (reference ``models/ULIP_models.py:224-230``)."""
+    mask = np.zeros((length, length), dtype=np.float32)
+    mask[np.triu_indices(length, k=1)] = -np.inf
+    return mask
+
+
+class TextTransformer(nn.Module):
+    """CLIP text encoder operating on pre-built prompt embeddings.
+
+    Two entry points:
+      - ``embed(tokens)``: token ids -> embeddings (used by the
+        PromptLearner to build its frozen base once);
+      - ``__call__(prompt_embeds, eot_positions)``: full transformer over
+        ``[C, 77, width]`` embeddings, pools at the EOT position, projects
+        to the joint space. EOT positions come from argmax over token ids
+        (EOT has the highest id), reference ``models/ULIP_models.py:219``.
+    """
+
+    config: TextConfig = TextConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.token_embedding = nn.Embed(
+            cfg.vocab_size,
+            cfg.width,
+            embedding_init=nn.initializers.normal(0.02),
+            name="token_embedding",
+        )
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.context_length, cfg.width),
+        )
+        self.blocks = [
+            TextBlock(cfg.heads, dtype=self.dtype, name=f"block_{i}")
+            for i in range(cfg.layers)
+        ]
+        self.ln_final = LayerNormF32(name="ln_final")
+        self.text_projection = self.param(
+            "text_projection",
+            nn.initializers.normal(cfg.width**-0.5),
+            (cfg.width, cfg.embed_dim),
+        )
+        self._mask = causal_mask(cfg.context_length)
+
+    def embed(self, tokens: jax.Array) -> jax.Array:
+        return self.token_embedding(tokens)
+
+    def __call__(
+        self, prompt_embeds: jax.Array, eot_positions: jax.Array
+    ) -> jax.Array:
+        """prompt_embeds: [C, L, width]; eot_positions: [C] int.
+        Returns [C, embed_dim] (unnormalized)."""
+        x = prompt_embeds.astype(self.dtype) + self.positional_embedding.astype(
+            self.dtype
+        )
+        mask = jnp.asarray(self._mask)
+        for block in self.blocks:
+            x = block(x, mask)
+        x = self.ln_final(x)
+        pooled = jnp.take_along_axis(
+            x, eot_positions[:, None, None], axis=1
+        )[:, 0, :]
+        return (pooled.astype(jnp.float32) @ self.text_projection).astype(
+            self.dtype
+        )

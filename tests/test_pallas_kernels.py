@@ -1,0 +1,53 @@
+"""Golden tests: Pallas kernels vs pure-JAX reference ops.
+
+Run in Pallas interpreter mode on the CPU test mesh; the same kernels
+compile for real on TPU (exercised by bench.py / the driver's compile
+check).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ppt_tpu import ops
+from ppt_tpu.kernels import fps_pallas, knn_pallas
+
+
+class TestFPSPallas:
+    @pytest.mark.parametrize("B,N,npoint", [(2, 128, 16), (1, 300, 32), (3, 1024, 128)])
+    def test_matches_reference(self, rng, B, N, npoint):
+        xyz = rng.randn(B, N, 3).astype(np.float32)
+        want = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), npoint))
+        got = np.asarray(fps_pallas(jnp.asarray(xyz), npoint, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_padding_never_selected(self, rng):
+        # N not a lane multiple: padded lanes must never be chosen
+        xyz = rng.randn(2, 130, 3).astype(np.float32)
+        got = np.asarray(fps_pallas(jnp.asarray(xyz), 64, interpret=True))
+        assert got.max() < 130
+
+
+class TestKNNPallas:
+    @pytest.mark.parametrize("B,N,S,k", [(2, 256, 128, 8), (1, 200, 128, 4)])
+    def test_matches_reference(self, rng, B, N, S, k):
+        xyz = rng.randn(B, N, 3).astype(np.float32)
+        q = rng.randn(B, S, 3).astype(np.float32)
+        want = np.asarray(ops.knn_point(k, jnp.asarray(xyz), jnp.asarray(q)))
+        got = np.asarray(knn_pallas(k, jnp.asarray(xyz), jnp.asarray(q), interpret=True))
+        # both nearest-first; ties may differ in index -> compare distances
+        def d(idx):
+            out = np.zeros(idx.shape)
+            for b in range(B):
+                diff = q[b][:, None, :] - xyz[b][idx[b]]
+                out[b] = np.sum(diff**2, axis=-1)
+            return out
+
+        np.testing.assert_allclose(d(got), d(want), rtol=1e-5, atol=1e-5)
+        # and exact index match where no ties
+        np.testing.assert_array_equal(got[:, :, 0], want[:, :, 0])
+
+    def test_self_query(self, rng):
+        xyz = rng.randn(1, 128, 3).astype(np.float32)
+        got = np.asarray(knn_pallas(3, jnp.asarray(xyz), jnp.asarray(xyz), interpret=True))
+        np.testing.assert_array_equal(got[0, :, 0], np.arange(128))
