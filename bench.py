@@ -1,0 +1,73 @@
+"""Benchmark: PPT-Base training throughput on one TPU chip.
+
+Measures steady-state clouds/sec for the full prompt-tuning train step —
+ULIP-PointBERT (512x32 grouping, 12-block ViT, 12-layer CLIP text tower),
+ModelNet40 prompt set, batch 32 x 1024 points, bf16 compute — the
+BASELINE.json north-star metric ("clouds/sec/chip, PointBERT, MN40 1k
+pts").
+
+``vs_baseline`` is computed against the only published throughput anchor
+in the reference repo: 2040 ins/sec (PointNeXt-S *inference* on V100,
+``models/pointnext/PointNeXt/docs/modelzoo.md:17``). The reference
+publishes no training-throughput number for PPT itself.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from ppt_tpu.models import trainable_mask
+    from ppt_tpu.train import cosine_with_warmup, create_train_state, make_train_step
+    from ppt_tpu.train.trainer import make_optimizer
+
+    B, N = 32, 1024
+    model, prompts = _flagship()
+    rng = np.random.RandomState(0)
+    pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 40, B))
+
+    variables = model.init(jax.random.PRNGKey(0), pc[:2], prompts)
+    mask = trainable_mask(variables["params"], head_type=0)
+    opt = make_optimizer(cosine_with_warmup(3e-3, 1e-5, 250, 100, warmup_epochs=1))
+    state = create_train_state(variables, mask, opt, jax.random.PRNGKey(1))
+
+    step_fn = make_train_step(model, opt, smoothing=0.2)
+    batch = {"pc": pc, "label": labels}
+
+    # warmup + compile
+    state, m = step_fn(state, batch, prompts)
+    jax.block_until_ready(m["loss"])
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = step_fn(state, batch, prompts)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    clouds_per_sec = B * n_iters / dt
+    baseline = 2040.0  # PointNeXt-S V100 inference anchor (modelzoo.md:17)
+    print(
+        json.dumps(
+            {
+                "metric": "train clouds/sec/chip (ULIP-PointBERT PPT-Base, B32xN1024, bf16)",
+                "value": round(clouds_per_sec, 2),
+                "unit": "clouds/sec",
+                "vs_baseline": round(clouds_per_sec / baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

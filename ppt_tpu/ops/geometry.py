@@ -38,13 +38,15 @@ def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
     Spec: reference ``models/pointbert/pointnet2_utils.py:51-72``.
     The inner product rides the MXU; the norms fuse into the epilogue.
     """
-    # Accumulate the cross term in f32 regardless of input dtype so bf16
-    # inputs don't lose the distance ordering.
+    # Full-f32 MXU passes: at default precision the TPU computes f32
+    # matmuls through bf16 decomposition, whose ~1e-2 absolute error is
+    # enough to flip kNN orderings and radius threshold decisions.
     cross = lax.dot_general(
         src,
         dst,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
     s2 = jnp.sum(src.astype(jnp.float32) ** 2, axis=-1)[:, :, None]
     d2 = jnp.sum(dst.astype(jnp.float32) ** 2, axis=-1)[:, None, :]

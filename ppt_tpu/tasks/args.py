@@ -1,0 +1,124 @@
+"""Task CLI: one shared flag surface for every driver.
+
+Parity with the reference's single argparse (``parser.py:1-85``) — same
+flag names and defaults so reference launch scripts translate directly —
+plus TPU-specific knobs (compute dtype, mesh size, synthetic fallback).
+Implemented as a dataclass so tests and notebooks can construct args
+programmatically without argparse.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class TaskArgs:
+    # data
+    output_dir: str = "outputs"
+    dataset_name: str = "modelnet40"
+    dataset_type: str = "test"
+    sonn_type: str = "hardest"
+    dataset_prompt: str = "modelnet40_64"
+    data_path: str = "data"
+    use_height: bool = False
+    npoints: int = 8192
+    nshots: int = 16
+    allow_synthetic_fallback: bool = True
+    # prompt
+    template_init: str = ""
+    num_learnable_prompt_tokens: int = 32
+    class_name_position: str = "end"
+    # model
+    model: str = "ULIP_PointBERT"
+    head_type: int = 0
+    test_ckpt_addr: str = ""
+    ulip2: bool = False
+    fpath: str = ""
+    topk: int = 5
+    pretrained_dir: str = "data/pretrained_models"
+    # training
+    epochs: int = 250
+    warmup_epochs: int = 1
+    start_epoch: int = 0
+    batch_size: int = 64
+    data_ratio: float = 1.0
+    optim: str = "adamw"
+    lr: float = 3e-3
+    lr_start: float = 1e-6
+    lr_end: float = 1e-5
+    update_freq: int = 1
+    wd: float = 0.1
+    betas: Tuple[float, float] = (0.9, 0.98)
+    eps: float = 1e-8
+    eval_freq: int = 1
+    resume: str = ""
+    label_smoothing: float = 0.3
+    # linear probe
+    num_step: int = 8
+    num_run: int = 10
+    # system
+    print_freq: int = 10
+    evaluate_3d: bool = False
+    seed: int = 0
+    task: str = "cls"
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    mesh_devices: int = 0  # 0 = all
+    # experiment tracking
+    proj_name: str = "PPT_TPU"
+    exp_name: str = ""
+    wandb: bool = False
+
+    # populated at runtime
+    classnames: Optional[List[str]] = None
+
+    def load_classnames(self, labels_path: Optional[str] = None) -> List[str]:
+        """Classnames from a labels.json keyed by dataset name (reference
+        loads ``data/labels.json`` at startup, utils/utils.py:118-120)."""
+        if self.classnames is not None:
+            return self.classnames
+        if labels_path is None:
+            labels_path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "assets",
+                "labels.json",
+            )
+        if os.path.exists(labels_path):
+            with open(labels_path) as f:
+                catalog = json.load(f)
+            for key in (self.dataset_name, self.dataset_name.replace("_fs", "")):
+                if key in catalog:
+                    self.classnames = catalog[key]
+                    return self.classnames
+        raise FileNotFoundError(
+            f"no classnames for {self.dataset_name} in {labels_path}"
+        )
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="PPT-TPU training and evaluation", add_help=True
+    )
+    for field in dataclasses.fields(TaskArgs):
+        if field.name == "classnames":
+            continue
+        arg = "--" + field.name
+        if field.type == "bool" or isinstance(field.default, bool):
+            p.add_argument(arg, action="store_true", default=field.default)
+        elif field.name == "betas":
+            p.add_argument(arg, nargs=2, type=float, default=field.default)
+        else:
+            p.add_argument(arg, type=type(field.default), default=field.default)
+    return p
+
+
+def parse_args(argv=None) -> TaskArgs:
+    ns = build_argparser().parse_args(argv)
+    kwargs = {k: v for k, v in vars(ns).items()}
+    if isinstance(kwargs.get("betas"), list):
+        kwargs["betas"] = tuple(kwargs["betas"])
+    return TaskArgs(**kwargs)

@@ -1,0 +1,192 @@
+"""Generic trainer: partitioned parameters, masked AdamW, jitted steps.
+
+Design (SURVEY.md §7.1): the reference's ``requires_grad=False`` freezing
+becomes an explicit parameter *partition* — the loss is differentiated
+only with respect to the trainable subset, so XLA never materializes
+gradients for the frozen towers (in particular not the [49408, 512] token
+embedding the torch autograd would produce). Gradients still flow
+*through* the frozen weights, exactly like the reference
+(``models/ULIP_models.py:472-507`` + ``main_cls.py:197``).
+
+Data parallelism: the train step is ``jax.jit`` over a mesh; the batch
+arrives sharded on the ``data`` axis, parameters replicated. XLA inserts
+the gradient psum over ICI — the reference's scaled_all_reduce
+(``utils/utils.py:154-176``) has no hand-written equivalent here.
+
+The logit-scale clamp to [0, ln(100)] after each update reproduces
+``main_cls.py:213``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct, traverse_util
+
+from ppt_tpu.models.losses import smoothed_cross_entropy
+
+LOGIT_SCALE_MAX = 4.6052  # ln(100), main_cls.py:213
+
+Params = Dict[str, Any]
+
+
+def partition_params(params: Params, mask: Params) -> Tuple[Params, Params]:
+    """Split a param tree into (trainable, frozen) by a boolean mask tree."""
+    flat_p = traverse_util.flatten_dict(params)
+    flat_m = traverse_util.flatten_dict(mask)
+    train = {k: v for k, v in flat_p.items() if flat_m[k]}
+    frozen = {k: v for k, v in flat_p.items() if not flat_m[k]}
+    return (
+        traverse_util.unflatten_dict(train),
+        traverse_util.unflatten_dict(frozen),
+    )
+
+
+def merge_params(trainable: Params, frozen: Params) -> Params:
+    flat = dict(traverse_util.flatten_dict(frozen))
+    flat.update(traverse_util.flatten_dict(trainable))
+    return traverse_util.unflatten_dict(flat)
+
+
+class TrainState(struct.PyTreeNode):
+    """Functional training state. ``trainable``/``frozen`` partition the
+    model params; only ``trainable`` has optimizer state."""
+
+    step: jax.Array
+    trainable: Params
+    frozen: Params
+    batch_stats: Params
+    opt_state: optax.OptState
+    rng: jax.Array
+
+    def params(self) -> Params:
+        return merge_params(self.trainable, self.frozen)
+
+
+def make_optimizer(
+    schedule: Callable,
+    weight_decay: float = 0.1,
+    betas: Tuple[float, float] = (0.9, 0.98),
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """AdamW matching the reference driver's optimizer config
+    (``main_cls.py`` AdamW betas (0.9, 0.98), eps 1e-8, wd 0.1)."""
+    return optax.adamw(
+        learning_rate=schedule, b1=betas[0], b2=betas[1], eps=eps,
+        weight_decay=weight_decay,
+    )
+
+
+def create_train_state(
+    variables: Params,
+    mask: Params,
+    optimizer: optax.GradientTransformation,
+    rng: jax.Array,
+) -> TrainState:
+    params = variables["params"]
+    trainable, frozen = partition_params(params, mask)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        trainable=trainable,
+        frozen=frozen,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(trainable),
+        rng=rng,
+    )
+
+
+def _clamp_logit_scale(trainable: Params) -> Params:
+    if "logit_scale" in trainable:
+        trainable = dict(trainable)
+        trainable["logit_scale"] = jnp.clip(
+            trainable["logit_scale"], 0.0, LOGIT_SCALE_MAX
+        )
+    return trainable
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    smoothing: float = 0.0,
+    partseg: bool = False,
+):
+    """Build the jitted classification/partseg train step.
+
+    batch: dict with 'pc' [B,N,3], 'label' [B] (cls) or [B,N] (partseg),
+    optional 'cls_onehot' [B,16] for partseg. ``prompts`` is the constant
+    PromptArrays for the task's classname set.
+    """
+
+    def train_step(state: TrainState, batch, prompts):
+        rng, step_rng = jax.random.split(state.rng)
+        dropout_rng, droppath_rng = jax.random.split(step_rng)
+
+        def loss_fn(trainable):
+            params = merge_params(trainable, state.frozen)
+            kwargs = {}
+            if partseg:
+                kwargs["cls_onehot"] = batch["cls_onehot"]
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["pc"],
+                prompts,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng, "droppath": droppath_rng},
+                **kwargs,
+            )
+            if partseg:
+                flat_logits = logits.reshape(-1, logits.shape[-1])
+                flat_labels = batch["label"].reshape(-1)
+                loss = smoothed_cross_entropy(flat_logits, flat_labels, smoothing)
+                acc = jnp.mean(
+                    jnp.argmax(flat_logits, -1) == flat_labels
+                )
+            else:
+                loss = smoothed_cross_entropy(logits, batch["label"], smoothing)
+                acc = jnp.mean(jnp.argmax(logits, -1) == batch["label"])
+            return loss, (mutated["batch_stats"], acc)
+
+        (loss, (new_bs, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.trainable)
+        updates, new_opt = optimizer.update(
+            grads, state.opt_state, state.trainable
+        )
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        new_trainable = _clamp_logit_scale(new_trainable)
+        new_state = state.replace(
+            step=state.step + 1,
+            trainable=new_trainable,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            rng=rng,
+        )
+        metrics = {"loss": loss, "acc": acc * 100.0}
+        return new_state, metrics
+
+    return jax.jit(train_step)
+
+
+def make_eval_step(model, partseg: bool = False):
+    """Jitted eval: returns logits (running stats, no dropout)."""
+
+    def eval_step(state: TrainState, batch, prompts):
+        params = merge_params(state.trainable, state.frozen)
+        kwargs = {}
+        if partseg:
+            kwargs["cls_onehot"] = batch["cls_onehot"]
+        return model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["pc"],
+            prompts,
+            train=False,
+            **kwargs,
+        )
+
+    return jax.jit(eval_step)

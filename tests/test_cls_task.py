@@ -1,0 +1,70 @@
+"""End-to-end cls task driver smoke: 2 epochs on synthetic data with a
+tiny model config, checkpoint save + reload, eval path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ppt_tpu.tasks.args import TaskArgs
+
+
+def _tiny_args(tmp_path, **kw):
+    defaults = dict(
+        dataset_name="synthetic",
+        model="ULIP_PointBERT",
+        npoints=128,
+        batch_size=8,
+        epochs=2,
+        warmup_epochs=1,
+        num_learnable_prompt_tokens=4,
+        class_name_position="end",
+        label_smoothing=0.2,
+        output_dir=str(tmp_path),
+        exp_name="smoke",
+        pretrained_dir="",
+        eval_freq=1,
+    )
+    defaults.update(kw)
+    args = TaskArgs(**defaults)
+    args.num_classes = 4
+    args.samples_per_class = 6
+    from ppt_tpu.nn.text import TextConfig
+
+    args.text_config = TextConfig(width=64, layers=2, heads=4, embed_dim=64)
+    return args
+
+
+@pytest.fixture(autouse=True)
+def tiny_pointbert(monkeypatch):
+    """Shrink the PointBERT factory for CPU test speed."""
+    from ppt_tpu.nn import PointBert, PointBertConfig
+    from ppt_tpu.models import ulip as ulip_mod
+
+    tiny = PointBertConfig(
+        trans_dim=48, depth=12, drop_path_rate=0.0, num_heads=4,
+        group_size=8, num_group=16, encoder_dims=32,
+    )
+
+    def tiny_factory(args):
+        return ulip_mod._make("ULIP_PointBERT", PointBert(tiny), 96, args)
+
+    monkeypatch.setitem(ulip_mod.MODEL_REGISTRY, "ULIP_PointBERT", tiny_factory)
+    yield
+
+
+def test_cls_train_and_eval(tmp_path):
+    from ppt_tpu.tasks import cls
+
+    args = _tiny_args(tmp_path)
+    result = cls.main(args)
+    assert result["best_epoch"] >= 0
+    assert np.isfinite(result["best_acc"])
+    ckpt_dir = os.path.join(str(tmp_path), "smoke")
+    assert os.path.exists(os.path.join(ckpt_dir, "checkpoint_best.msgpack"))
+    assert os.path.exists(os.path.join(ckpt_dir, "checkpoint_best.json"))
+
+    # eval-only path reloading the saved checkpoint
+    eval_args = _tiny_args(tmp_path, evaluate_3d=True, test_ckpt_addr=ckpt_dir)
+    eval_result = cls.main(eval_args)
+    assert np.isfinite(eval_result["best_acc"])

@@ -1,0 +1,127 @@
+"""End-to-end training integration: tiny ULIP-PointBERT learns synthetic
+classes; only the prompt params move; multi-device sharding works."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ppt_tpu.data import Loader, make_synthetic, train_augment
+from ppt_tpu.models import PromptArrays, Ulip, trainable_mask
+from ppt_tpu.nn import PointBert, PointBertConfig, TextConfig
+from ppt_tpu.parallel import create_mesh, replicate, shard_batch
+from ppt_tpu.prompt import ClipTokenizer, build_prompt_spec
+from ppt_tpu.train import (
+    cosine_with_warmup,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from ppt_tpu.train.trainer import make_optimizer
+
+TINY = PointBertConfig(
+    trans_dim=48, depth=12, drop_path_rate=0.0, num_heads=4,
+    group_size=8, num_group=32, encoder_dims=32,
+)
+TEXT = TextConfig(width=512, layers=2, heads=8, embed_dim=512)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = make_synthetic(num_classes=4, samples_per_class=8, npoints=128)
+    tok = ClipTokenizer()
+    spec = build_prompt_spec(
+        ds.classnames, n_ctx=4, class_name_position="end", tokenizer=tok
+    )
+    prompts = PromptArrays.from_spec(spec)
+    model = Ulip(
+        point_encoder=PointBert(TINY),
+        pc_feat_dims=2 * TINY.trans_dim,
+        n_ctx=4,
+        text_config=TEXT,
+    )
+    pc0 = jnp.asarray(ds.points[:4])
+    variables = model.init(jax.random.PRNGKey(0), pc0, prompts)
+    mask = trainable_mask(variables["params"], head_type=0)
+    sched = cosine_with_warmup(3e-3, 1e-5, 10, 4, warmup_epochs=1, warmup_start_lr=1e-6)
+    opt = make_optimizer(sched)
+    state = create_train_state(variables, mask, opt, jax.random.PRNGKey(1))
+    return ds, prompts, model, opt, state
+
+
+class TestTraining:
+    def test_loss_decreases_and_only_prompts_move(self, setup):
+        ds, prompts, model, opt, state = setup
+        step_fn = make_train_step(model, opt, smoothing=0.2)
+        loader = Loader(ds, batch_size=8, shuffle=True, drop_last=True,
+                        num_processes=1, process_index=0)
+        frozen_before = jax.tree_util.tree_map(np.asarray, state.frozen)
+        prompt_before = np.asarray(
+            state.trainable["prompt_learner"]["learnable_tokens"]
+        )
+
+        losses = []
+        for epoch in range(6):
+            loader.set_epoch(epoch)
+            for batch in loader:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                state, metrics = step_fn(state, batch, prompts)
+                losses.append(float(metrics["loss"]))
+
+        assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+        # frozen params bit-identical
+        frozen_after = jax.tree_util.tree_map(np.asarray, state.frozen)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(frozen_before),
+            jax.tree_util.tree_leaves_with_path(frozen_after),
+        ):
+            np.testing.assert_array_equal(a, b, err_msg=str(pa))
+        # prompts moved
+        prompt_after = np.asarray(
+            state.trainable["prompt_learner"]["learnable_tokens"]
+        )
+        assert np.abs(prompt_after - prompt_before).max() > 0
+
+        # eval beats chance after training
+        eval_fn = make_eval_step(model)
+        batch = {
+            "pc": jnp.asarray(ds.points),
+            "label": jnp.asarray(ds.labels),
+        }
+        logits = eval_fn(state, batch, prompts)
+        acc = np.mean(np.argmax(np.asarray(logits), -1) == ds.labels)
+        assert acc > 0.3, acc  # chance = 0.25
+
+    def test_multidevice_sharded_step(self, setup):
+        ds, prompts, model, opt, state = setup
+        mesh = create_mesh()
+        assert mesh.devices.size == 8
+        step_fn = make_train_step(model, opt, smoothing=0.2)
+        state_r = replicate(state, mesh)
+        prompts_r = replicate(prompts, mesh)
+        batch = {
+            "pc": ds.points[:16],
+            "label": ds.labels[:16],
+        }
+        batch_s = shard_batch(batch, mesh)
+        assert batch_s["pc"].sharding.spec == P("data")
+        new_state, metrics = step_fn(state_r, batch_s, prompts_r)
+        assert np.isfinite(float(metrics["loss"]))
+
+        # sharded result == single-device result
+        batch_1 = {k: jnp.asarray(v) for k, v in batch.items()}
+        new_state_1, metrics_1 = step_fn(state, batch_1, prompts)
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(metrics_1["loss"]), rtol=2e-4
+        )
+
+    def test_augment_in_pipeline(self, setup):
+        ds, *_ = setup
+        pc = jnp.asarray(ds.points[:8])
+        out = train_augment(jax.random.PRNGKey(0), pc)
+        assert out.shape == pc.shape
+        assert not np.allclose(np.asarray(out), np.asarray(pc))
+        out_h = train_augment(jax.random.PRNGKey(0), pc, use_height=True)
+        assert out_h.shape == (*pc.shape[:2], 4)
