@@ -1,0 +1,252 @@
+"""Convert the reference's PyTorch checkpoints to flax param trees.
+
+Inputs (the files PPT downloads, ``models/ULIP_models.py:472-507``):
+  - ``slip_base_100ep.pt``    — CLIP/SLIP text tower (+ visual, ignored)
+  - ``pointbert(_ulip2).pt``  — ULIP-pretrained PointBERT point encoder
+                                 (+ pc_projection, logit_scale)
+  - ``pointnet2_ssg.pt`` / ``pointnet2_msg_1kpts.pt`` / ``pointmlp.pt``
+
+Outputs: ``<name>.msgpack`` files containing ``{"params": ..,
+"batch_stats": ..}`` trees keyed by this framework's module paths, loaded
+at task setup by ``ppt_tpu.train.checkpoint.load_pretrained_backbones``.
+
+Layout conventions translated:
+  - torch ``Linear.weight [out, in]``      -> flax ``kernel [in, out]``
+  - torch ``Conv1d/2d(k=1).weight``        -> squeeze spatial, transpose
+  - torch ``BatchNorm.{weight,bias}``      -> ``{scale,bias}`` params and
+    ``{running_mean,running_var}``         -> ``{mean,var}`` batch_stats
+  - MultiheadAttention ``in_proj_weight``  -> fused ``in_proj`` Dense
+
+Usage:
+  python -m ppt_tpu.tools.ckpt_convert --src data/initialize_models/slip_base_100ep.pt \
+      --kind slip --out data/pretrained_models/slip_text.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+from flax import serialization, traverse_util
+
+log = logging.getLogger(__name__)
+
+Flat = Dict[Tuple[str, ...], np.ndarray]
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def _linear(dst_params: Flat, path: Tuple[str, ...], w, b=None):
+    dst_params[path + ("kernel",)] = _t(w).T
+    if b is not None:
+        dst_params[path + ("bias",)] = _t(b)
+
+
+def _conv1x1(dst_params: Flat, path: Tuple[str, ...], w, b=None):
+    w = _t(w)
+    w = w.reshape(w.shape[0], w.shape[1])  # drop k=1 spatial dims
+    dst_params[path + ("kernel",)] = w.T
+    if b is not None:
+        dst_params[path + ("bias",)] = _t(b)
+
+
+def _bn(dst_params: Flat, dst_stats: Flat, path: Tuple[str, ...], sd, src: str):
+    dst_params[path + ("scale",)] = _t(sd[src + ".weight"])
+    dst_params[path + ("bias",)] = _t(sd[src + ".bias"])
+    dst_stats[path + ("mean",)] = _t(sd[src + ".running_mean"])
+    dst_stats[path + ("var",)] = _t(sd[src + ".running_var"])
+
+
+def _ln(dst_params: Flat, path: Tuple[str, ...], sd, src: str):
+    dst_params[path + ("scale",)] = _t(sd[src + ".weight"])
+    dst_params[path + ("bias",)] = _t(sd[src + ".bias"])
+
+
+def _strip_module(sd: Dict[str, Any]) -> Dict[str, Any]:
+    return {k.replace("module.", "", 1) if k.startswith("module.") else k: v
+            for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# SLIP text tower
+# ---------------------------------------------------------------------------
+
+
+def convert_slip_text(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """SLIP/CLIP text transformer -> ``text/*`` tree + logit_scale."""
+    sd = _strip_module(sd)
+    p: Flat = {}
+    s: Flat = {}
+    p[("text", "token_embedding", "embedding")] = _t(sd["token_embedding.weight"])
+    p[("text", "positional_embedding")] = _t(sd["positional_embedding"])
+    p[("text", "text_projection")] = _t(sd["text_projection"])
+    if "logit_scale" in sd:
+        p[("logit_scale",)] = _t(sd["logit_scale"]).reshape(())
+    _ln(p, ("text", "ln_final", "norm"), sd, "ln_final")
+
+    n_blocks = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"transformer\.resblocks\.(\d+)\.", k))
+    )
+    for i in range(n_blocks):
+        src = f"transformer.resblocks.{i}"
+        dst = ("text", f"block_{i}")
+        _ln(p, dst + ("ln_1", "norm"), sd, f"{src}.ln_1")
+        _ln(p, dst + ("ln_2", "norm"), sd, f"{src}.ln_2")
+        _linear(p, dst + ("attn", "in_proj"),
+                sd[f"{src}.attn.in_proj_weight"], sd[f"{src}.attn.in_proj_bias"])
+        _linear(p, dst + ("attn", "out_proj"),
+                sd[f"{src}.attn.out_proj.weight"], sd[f"{src}.attn.out_proj.bias"])
+        _linear(p, dst + ("c_fc",), sd[f"{src}.mlp.c_fc.weight"], sd[f"{src}.mlp.c_fc.bias"])
+        _linear(p, dst + ("c_proj",), sd[f"{src}.mlp.c_proj.weight"], sd[f"{src}.mlp.c_proj.bias"])
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PointBERT point encoder (ULIP checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def convert_pointbert(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """ULIP PointBERT -> ``point_encoder/*`` (+ pc_projection)."""
+    sd = _strip_module(sd)
+    pe = "point_encoder."
+    p: Flat = {}
+    s: Flat = {}
+    if "pc_projection" in sd:
+        p[("pc_projection",)] = _t(sd["pc_projection"])
+
+    enc = ("point_encoder", "encoder")
+    _conv1x1(p, enc + ("conv1a",), sd[pe + "encoder.first_conv.0.weight"],
+             sd[pe + "encoder.first_conv.0.bias"])
+    _bn(p, s, enc + ("bn1",), sd, pe + "encoder.first_conv.1")
+    _conv1x1(p, enc + ("conv1b",), sd[pe + "encoder.first_conv.3.weight"],
+             sd[pe + "encoder.first_conv.3.bias"])
+    _conv1x1(p, enc + ("conv2a",), sd[pe + "encoder.second_conv.0.weight"],
+             sd[pe + "encoder.second_conv.0.bias"])
+    _bn(p, s, enc + ("bn2",), sd, pe + "encoder.second_conv.1")
+    _conv1x1(p, enc + ("conv2b",), sd[pe + "encoder.second_conv.3.weight"],
+             sd[pe + "encoder.second_conv.3.bias"])
+
+    _linear(p, ("point_encoder", "reduce_dim"),
+            sd[pe + "reduce_dim.weight"], sd[pe + "reduce_dim.bias"])
+    p[("point_encoder", "cls_token")] = _t(sd[pe + "cls_token"])
+    p[("point_encoder", "cls_pos")] = _t(sd[pe + "cls_pos"])
+    _linear(p, ("point_encoder", "pos_embed1"),
+            sd[pe + "pos_embed.0.weight"], sd[pe + "pos_embed.0.bias"])
+    _linear(p, ("point_encoder", "pos_embed2"),
+            sd[pe + "pos_embed.2.weight"], sd[pe + "pos_embed.2.bias"])
+
+    n_blocks = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(re.escape(pe) + r"blocks\.blocks\.(\d+)\.", k))
+    )
+    for i in range(n_blocks):
+        src = f"{pe}blocks.blocks.{i}"
+        dst = ("point_encoder", f"block_{i}")
+        _ln(p, dst + ("norm1",), sd, f"{src}.norm1")
+        _ln(p, dst + ("norm2",), sd, f"{src}.norm2")
+        p[dst + ("attn", "qkv", "kernel")] = _t(sd[f"{src}.attn.qkv.weight"]).T
+        _linear(p, dst + ("attn", "proj"),
+                sd[f"{src}.attn.proj.weight"], sd[f"{src}.attn.proj.bias"])
+        _linear(p, dst + ("mlp", "fc1"), sd[f"{src}.mlp.fc1.weight"], sd[f"{src}.mlp.fc1.bias"])
+        _linear(p, dst + ("mlp", "fc2"), sd[f"{src}.mlp.fc2.weight"], sd[f"{src}.mlp.fc2.bias"])
+    _ln(p, ("point_encoder", "norm"), sd, pe + "norm")
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PointNet++ SSG / MSG
+# ---------------------------------------------------------------------------
+
+
+def convert_pointnet2(sd: Dict[str, Any], msg: bool = False) -> Dict[str, Any]:
+    sd = _strip_module(sd)
+    pe = "point_encoder."
+    p: Flat = {}
+    s: Flat = {}
+    if "pc_projection" in sd:
+        p[("pc_projection",)] = _t(sd["pc_projection"])
+
+    for sa in ("sa1", "sa2", "sa3"):
+        base = pe + sa
+        if f"{base}.mlp_convs.0.weight" in sd:  # single-scale
+            i = 0
+            while f"{base}.mlp_convs.{i}.weight" in sd:
+                dst = ("point_encoder", sa)
+                _conv1x1(p, dst + (f"conv{i}",),
+                         sd[f"{base}.mlp_convs.{i}.weight"],
+                         sd[f"{base}.mlp_convs.{i}.bias"])
+                _bn(p, s, dst + (f"bn{i}",), sd, f"{base}.mlp_bns.{i}")
+                i += 1
+        else:  # multi-scale: conv_blocks.{scale}.{layer}
+            scale = 0
+            while f"{base}.conv_blocks.{scale}.0.weight" in sd:
+                j = 0
+                while f"{base}.conv_blocks.{scale}.{j}.weight" in sd:
+                    dst = ("point_encoder", sa)
+                    _conv1x1(p, dst + (f"conv{scale}_{j}",),
+                             sd[f"{base}.conv_blocks.{scale}.{j}.weight"],
+                             sd[f"{base}.conv_blocks.{scale}.{j}.bias"])
+                    _bn(p, s, dst + (f"bn{scale}_{j}",), sd,
+                        f"{base}.bn_blocks.{scale}.{j}")
+                    j += 1
+                scale += 1
+
+    head = ("point_encoder", "head")
+    _linear(p, head + ("fc1",), sd[pe + "fc1.weight"], sd[pe + "fc1.bias"])
+    _bn(p, s, head + ("bn1",), sd, pe + "bn1")
+    _linear(p, head + ("fc2",), sd[pe + "fc2.weight"], sd[pe + "fc2.bias"])
+    _bn(p, s, head + ("bn2",), sd, pe + "bn2")
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
+CONVERTERS = {
+    "slip": convert_slip_text,
+    "pointbert": convert_pointbert,
+    "pointnet2_ssg": convert_pointnet2,
+    "pointnet2_msg": lambda sd: convert_pointnet2(sd, msg=True),
+}
+
+
+def convert_file(src: str, kind: str, out: str, state_key: str = "state_dict"):
+    import torch
+
+    ckpt = torch.load(src, map_location="cpu", weights_only=False)
+    sd = ckpt[state_key] if state_key in ckpt else ckpt
+    tree = CONVERTERS[kind](sd)
+    with open(out, "wb") as f:
+        f.write(serialization.msgpack_serialize(tree))
+    n = len(traverse_util.flatten_dict(tree["params"]))
+    log.info("converted %s (%s): %d param leaves -> %s", src, kind, n, out)
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", required=True)
+    ap.add_argument("--kind", required=True, choices=sorted(CONVERTERS))
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--state-key", default="state_dict")
+    args = ap.parse_args()
+    convert_file(args.src, args.kind, args.out, args.state_key)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""dVAE tests: shapes, loss behavior, straight-through gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ppt_tpu.nn.dvae import DiscreteVAE, DvaeConfig, dvae_loss
+
+TINY = DvaeConfig(
+    group_size=8, num_group=16, encoder_dims=32, tokens_dims=32,
+    decoder_dims=32, num_tokens=64,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(rng=None):
+    rng = np.random.RandomState(0)
+    model = DiscreteVAE(TINY)
+    pts = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        pts, train=True,
+    )
+    return model, variables, pts
+
+
+def test_forward_shapes(setup):
+    model, variables, pts = setup
+    ret = model.apply(variables, pts)
+    assert ret["coarse"].shape == (2, 16, 2, 3)  # group_size//4 coarse pts
+    assert ret["fine"].shape == (2, 16, 8, 3)
+    assert ret["whole_fine"].shape == (2, 16 * 8, 3)
+    assert ret["logits"].shape == (2, 16, 64)
+
+
+def test_losses_finite_and_positive(setup):
+    model, variables, pts = setup
+    ret = model.apply(variables, pts)
+    recon, klv = dvae_loss(ret, TINY.num_tokens)
+    assert np.isfinite(float(recon)) and float(recon) > 0
+    assert np.isfinite(float(klv)) and float(klv) >= -1e-6
+
+
+def test_hard_mode_straight_through(setup):
+    model, variables, pts = setup
+
+    def loss_fn(params):
+        ret, _ = model.apply(
+            {**variables, "params": params}, pts, temperature=0.5, hard=True,
+            train=True,
+            rngs={"gumbel": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"],
+        )
+        recon, klv = dvae_loss(ret, TINY.num_tokens)
+        return recon + klv
+
+    g = jax.grad(loss_fn)(variables["params"])
+    cb = np.asarray(g["codebook"])
+    assert np.isfinite(cb).all()
+    assert np.abs(cb).sum() > 0  # gradients reach the codebook through ST

@@ -1,0 +1,83 @@
+"""Chamfer/EMD tests: identity, symmetry, known values, gradients, and an
+optional parity check against scipy's exact linear assignment."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ppt_tpu.ops.losses3d import (
+    chamfer_l1,
+    chamfer_l2,
+    chamfer_l2_split,
+    emd_distance,
+)
+
+
+class TestChamfer:
+    def test_zero_on_identical(self, rng):
+        x = jnp.asarray(rng.randn(2, 32, 3).astype(np.float32))
+        # the matmul-form distance leaves ~1e-6 cancellation residue
+        assert float(chamfer_l2(x, x)) < 1e-4
+        assert float(chamfer_l1(x, x)) < 1e-2
+
+    def test_known_value(self):
+        a = jnp.asarray([[[0.0, 0, 0], [1, 0, 0]]])
+        b = jnp.asarray([[[0.0, 0, 0], [2, 0, 0]]])
+        # d1: [0, 1], d2: [0, 1] -> L2 = mean(0,1)+mean(0,1) = 1.0
+        assert abs(float(chamfer_l2(a, b)) - 1.0) < 1e-6
+
+    def test_symmetry(self, rng):
+        a = jnp.asarray(rng.randn(1, 20, 3).astype(np.float32))
+        b = jnp.asarray(rng.randn(1, 20, 3).astype(np.float32))
+        assert abs(float(chamfer_l2(a, b)) - float(chamfer_l2(b, a))) < 1e-6
+
+    def test_split_components(self, rng):
+        a = jnp.asarray(rng.randn(1, 16, 3).astype(np.float32))
+        b = jnp.asarray(rng.randn(1, 24, 3).astype(np.float32))
+        d1, d2 = chamfer_l2_split(a, b)
+        assert abs(float(d1 + d2) - float(chamfer_l2(a, b))) < 1e-6
+
+    def test_gradients(self, rng):
+        a = jnp.asarray(rng.randn(1, 16, 3).astype(np.float32))
+        b = jnp.asarray(rng.randn(1, 16, 3).astype(np.float32))
+        g = jax.grad(lambda x: chamfer_l2(x, b))(a)
+        assert np.isfinite(np.asarray(g)).all()
+        # moving a towards b decreases the loss
+        l0 = float(chamfer_l2(a, b))
+        l1 = float(chamfer_l2(a - 0.01 * g, b))
+        assert l1 < l0
+
+
+class TestEMD:
+    def test_zero_on_identical(self, rng):
+        x = jnp.asarray(rng.rand(2, 16, 3).astype(np.float32))
+        d = emd_distance(x, x, eps=0.005, iters=100)
+        assert np.all(np.asarray(d) < 0.02)
+
+    def test_translation_cost(self):
+        # identical clouds offset by t: EMD ~ t per point
+        rng = np.random.RandomState(0)
+        a = rng.rand(1, 32, 3).astype(np.float32)
+        b = a + np.array([0.5, 0, 0], dtype=np.float32)
+        d = float(emd_distance(jnp.asarray(a), jnp.asarray(b), eps=0.01, iters=200)[0])
+        assert abs(d - 0.5) < 0.05
+
+    def test_close_to_exact_assignment(self, rng):
+        scipy = pytest.importorskip("scipy.optimize")
+        a = rng.rand(1, 12, 3).astype(np.float32)
+        b = rng.rand(1, 12, 3).astype(np.float32)
+        cost = np.sqrt(
+            ((a[0][:, None, :] - b[0][None, :, :]) ** 2).sum(-1)
+        )
+        r, c = scipy.linear_sum_assignment(cost)
+        exact = cost[r, c].mean()
+        approx = float(emd_distance(jnp.asarray(a), jnp.asarray(b), eps=0.005, iters=300)[0])
+        assert approx >= exact - 0.01  # regularized OT >= exact
+        assert approx < exact * 1.25 + 0.02
+
+    def test_gradients(self, rng):
+        a = jnp.asarray(rng.rand(1, 8, 3).astype(np.float32))
+        b = jnp.asarray(rng.rand(1, 8, 3).astype(np.float32))
+        g = jax.grad(lambda x: jnp.sum(emd_distance(x, b, iters=30)))(a)
+        assert np.isfinite(np.asarray(g)).all()
