@@ -267,7 +267,9 @@ def make_synthetic(
     seg = np.zeros((M, npoints), dtype=np.int32) if partseg else None
     if classnames is None:
         if partseg:
-            classnames = SHAPENETPART_CATEGORIES[:num_classes]
+            # full 16-category space: the partseg model conditions on a
+            # 16-wide one-hot even when few categories have samples
+            classnames = SHAPENETPART_CATEGORIES
         else:
             classnames = [f"shape {i}" for i in range(num_classes)]
 

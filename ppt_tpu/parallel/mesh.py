@@ -32,11 +32,22 @@ def create_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
     shape: Optional[Sequence[int]] = None,
+    batch_size: Optional[int] = None,
 ) -> Mesh:
-    """1-D (or reshaped) device mesh over the available devices."""
+    """1-D (or reshaped) device mesh over the available devices.
+
+    With ``batch_size``, the data axis shrinks to the largest device
+    count that divides the (global) batch, so small-batch runs don't
+    fail sharding-divisibility checks.
+    """
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
+    if batch_size is not None:
+        n = len(devices)
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        devices = devices[:n]
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
     dev_array = np.asarray(devices).reshape(shape)

@@ -103,22 +103,41 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="PPT-TPU training and evaluation", add_help=True
     )
+    p.add_argument(
+        "--config", default="", help="experiment YAML (configs/experiments/*)"
+    )
+    p.add_argument(
+        "--set", dest="overrides", nargs="*", default=[],
+        metavar="KEY=VALUE", help="dotted config overrides",
+    )
     for field in dataclasses.fields(TaskArgs):
         if field.name == "classnames":
             continue
         arg = "--" + field.name
         if field.type == "bool" or isinstance(field.default, bool):
-            p.add_argument(arg, action="store_true", default=field.default)
+            p.add_argument(arg, action="store_true", default=None)
         elif field.name == "betas":
-            p.add_argument(arg, nargs=2, type=float, default=field.default)
+            p.add_argument(arg, nargs=2, type=float, default=None)
         else:
-            p.add_argument(arg, type=type(field.default), default=field.default)
+            p.add_argument(arg, type=type(field.default), default=None)
     return p
 
 
 def parse_args(argv=None) -> TaskArgs:
+    """Resolution order (later wins): dataclass defaults < --config YAML
+    (with --set overrides) < explicit CLI flags."""
     ns = build_argparser().parse_args(argv)
-    kwargs = {k: v for k, v in vars(ns).items()}
-    if isinstance(kwargs.get("betas"), list):
-        kwargs["betas"] = tuple(kwargs["betas"])
-    return TaskArgs(**kwargs)
+    args = TaskArgs()
+    if ns.config:
+        from ppt_tpu.utils.config import apply_overrides, config_to_args, load_config
+
+        cfg = load_config(ns.config)
+        cfg = apply_overrides(cfg, ns.overrides or [])
+        args = config_to_args(cfg, args)
+    for k, v in vars(ns).items():
+        if k in ("config", "overrides") or v is None:
+            continue
+        if k == "betas" and isinstance(v, list):
+            v = tuple(v)
+        setattr(args, k, v)
+    return args

@@ -66,7 +66,7 @@ def setup(args: TaskArgs):
     model_spec = build_model(args.model, args)
     model = model_spec.model
 
-    mesh = create_mesh(args.mesh_devices or None)
+    mesh = create_mesh(args.mesh_devices or None, batch_size=args.batch_size)
     sample = jnp.asarray(train_ds.points[: min(2, len(train_ds))])
     if args.use_height:
         from ppt_tpu.data import append_height

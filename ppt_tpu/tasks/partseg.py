@@ -73,7 +73,7 @@ def setup(args: TaskArgs):
     model_spec = build_model(args.model, args)
     model = model_spec.model
 
-    mesh = create_mesh(args.mesh_devices or None)
+    mesh = create_mesh(args.mesh_devices or None, batch_size=args.batch_size)
     sample_pc = jnp.asarray(train_ds.points[:2])
     sample_oh = jnp.eye(16, dtype=jnp.float32)[jnp.asarray(train_ds.labels[:2]) % 16]
     variables = model.init(
