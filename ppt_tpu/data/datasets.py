@@ -245,6 +245,55 @@ def load_shapenetpart(
     )
 
 
+def load_shapenet55(
+    root: str,
+    split: str,
+    npoints: int,
+    pc_dirname: str = "shapenet_pc",
+    whole: bool = True,
+    seed: int = 0,
+) -> ArrayDataset:
+    """ShapeNet-55 ULIP pretraining clouds (``ShapeNet``, :470-653).
+
+    File list from ``{split}.txt`` entries ``taxonomy-model.npy`` (plus
+    the test list when ``whole``); per-cloud random subsample to
+    ``npoints`` and unit-sphere normalization. Labels index the taxonomy
+    names from ``taxonomy.json`` (used to build captions at train time).
+    """
+    with open(os.path.join(root, "taxonomy.json")) as f:
+        taxonomy = json.load(f)
+    synset_names = {d["synsetId"]: d["name"].split(",")[0] for d in taxonomy}
+
+    lines: List[str] = []
+    with open(os.path.join(root, f"{split}.txt")) as f:
+        lines += [line.strip() for line in f if line.strip()]
+    if whole and split == "train":
+        test_list = os.path.join(root, "test.txt")
+        if os.path.exists(test_list):
+            with open(test_list) as f:
+                lines += [line.strip() for line in f if line.strip()]
+
+    classnames: List[str] = []
+    name_to_idx: Dict[str, int] = {}
+    rng = np.random.RandomState(seed)
+    pts = np.zeros((len(lines), npoints, 3), dtype=np.float32)
+    labels = np.zeros(len(lines), dtype=np.int32)
+    for i, line in enumerate(lines):
+        synset = line.split("-")[0]
+        name = synset_names.get(synset, synset)
+        if name not in name_to_idx:
+            name_to_idx[name] = len(classnames)
+            classnames.append(name)
+        data = np.load(os.path.join(root, pc_dirname, line)).astype(np.float32)
+        if npoints < data.shape[0]:
+            choice = rng.permutation(data.shape[0])[:npoints]
+        else:
+            choice = rng.randint(0, data.shape[0], npoints)
+        pts[i] = pc_normalize(data[choice, :3])
+        labels[i] = name_to_idx[name]
+    return ArrayDataset(pts, labels, classnames, name="shapenet55")
+
+
 # ---------------------------------------------------------------------------
 # Synthetic fallback — keeps every task runnable without the real corpora
 # ---------------------------------------------------------------------------
@@ -348,6 +397,11 @@ def _sonn_fs(args, split: str) -> ArrayDataset:
     if split == "train":
         ds = generate_fewshot(ds, args.nshots, seed=args.seed)
     return ds
+
+
+@register_dataset("shapenet")
+def _sn55(args, split: str) -> ArrayDataset:
+    return load_shapenet55(args.data_path, split, args.npoints)
 
 
 @register_dataset("synthetic")

@@ -100,6 +100,18 @@ class Ulip(nn.Module):
         emb = emb.astype(jnp.float32)
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
+    def encode_captions(self, tokens: jax.Array) -> jax.Array:
+        """Raw caption tokens -> normalized text embeddings [B, E].
+
+        The ULIP pretraining path (no prompt learner): embeds tokenized
+        captions and pools at the EOT position, mirroring the original
+        ULIP ``encode_text`` over template captions.
+        """
+        base = self.text.embed(tokens)
+        emb = self.text(base, jnp.argmax(tokens, axis=-1))
+        emb = emb.astype(jnp.float32)
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
     def encode_pc(
         self,
         pc: jax.Array,
@@ -191,6 +203,18 @@ def ulip_customized(args, encoder: nn.Module, pc_feat_dims: int = 512) -> ModelS
     return _make("ULIP_CUSTOMIZED", encoder, pc_feat_dims, args)
 
 
+def ulip_pointnet(args) -> ModelSpec:
+    from ppt_tpu.nn import PointNetClassic
+
+    return _make("ULIP_PointNet", PointNetClassic(), 256, args)
+
+
+def ulip_dgcnn(args) -> ModelSpec:
+    from ppt_tpu.nn import DgcnnClassifier
+
+    return _make("ULIP_DGCNN", DgcnnClassifier(), 256, args)
+
+
 MODEL_REGISTRY: Dict[str, Callable[..., ModelSpec]] = {
     "ULIP_PN_SSG": ulip_pn_ssg,
     "ULIP_PN_MSG": ulip_pn_msg,
@@ -198,6 +222,8 @@ MODEL_REGISTRY: Dict[str, Callable[..., ModelSpec]] = {
     "ULIP_PointBERT": ulip_pointbert,
     "ULIP_PointBERT_partseg": ulip_pointbert_partseg,
     "ULIP_PN_NEXT": ulip_pn_next,
+    "ULIP_PointNet": ulip_pointnet,
+    "ULIP_DGCNN": ulip_dgcnn,
 }
 
 
@@ -248,13 +274,17 @@ def trainable_mask(
 ) -> Any:
     """Boolean pytree marking which parameter leaves train.
 
-    Always: ``prompt_learner/*``. head_type>0 progressively adds the
-    PointAdapter leaves; partseg adds the non-pretrained segmentation-head
-    subtrees.
+    Prompt tasks: always ``prompt_learner/*``; head_type>0 progressively
+    adds the PointAdapter leaves; partseg adds the non-pretrained
+    segmentation-head subtrees. ``task='pretrain'`` instead trains the
+    point encoder + pc_projection + logit_scale against the frozen text
+    tower (the original ULIP recipe).
     """
     flat = traverse_util.flatten_dict(params)
 
     def is_trainable(path) -> bool:
+        if task == "pretrain":
+            return path[0] in ("point_encoder", "pc_projection", "logit_scale")
         if "prompt_learner" in path:
             return True
         for ht, prefixes in _HEAD_TYPE_UNFREEZE.items():

@@ -4,6 +4,7 @@ from ppt_tpu.nn.pointbert import PointBert, PointBertConfig, PointBertPartSeg
 from ppt_tpu.nn.pointnet2 import PointNet2Ssg, PointNet2Msg
 from ppt_tpu.nn.pointmlp import PointMLP
 from ppt_tpu.nn.pointnext import PointNext, PointNextConfig
+from ppt_tpu.nn.classic import PointNetClassic, DgcnnClassifier
 
 __all__ = [
     "LayerNormF32",
@@ -20,4 +21,6 @@ __all__ = [
     "PointMLP",
     "PointNext",
     "PointNextConfig",
+    "PointNetClassic",
+    "DgcnnClassifier",
 ]

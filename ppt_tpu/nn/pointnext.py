@@ -71,7 +71,11 @@ class _ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.Dense(self.out, dtype=self.dtype, name="conv")(x)
+        # conv bias is omitted when BN follows (reference create_convblock
+        # behavior — torch convs with norm have bias=False)
+        x = nn.Dense(
+            self.out, use_bias=not self.use_norm, dtype=self.dtype, name="conv"
+        )(x)
         if self.use_norm:
             x = nn.BatchNorm(
                 use_running_average=not train, dtype=jnp.float32, name="bn"
@@ -228,9 +232,10 @@ class PointNext(nn.Module):
                     )(xyz, feats, train)
 
         # ClsHead (num_classes=-1): 512 -> 512 -> 256 with BN/ReLU/dropout
+        # (linear bias omitted when BN follows, as in create_linearblock)
         x = feats
         for i, w in enumerate(cfg.head_mlps):
-            x = nn.Dense(w, dtype=self.dtype, name=f"head_fc{i}")(x)
+            x = nn.Dense(w, use_bias=False, dtype=self.dtype, name=f"head_fc{i}")(x)
             x = nn.BatchNorm(
                 use_running_average=not train, dtype=jnp.float32,
                 name=f"head_bn{i}",

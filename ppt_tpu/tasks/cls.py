@@ -91,14 +91,26 @@ def setup(args: TaskArgs):
     log.info("trainable params: %d", n_train)
 
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
-    sched = cosine_with_warmup(
-        args.lr, args.lr_end, args.epochs, steps_per_epoch,
-        warmup_epochs=args.warmup_epochs, warmup_start_lr=args.lr_start,
+    from ppt_tpu.train.optim import build_optimizer, build_schedule
+
+    sched = build_schedule(
+        "cosine", args.lr, args.epochs, steps_per_epoch,
+        final_lr=args.lr_end, warmup_epochs=args.warmup_epochs,
+        warmup_start_lr=args.lr_start,
     )
-    optimizer = make_optimizer(sched, weight_decay=args.wd, betas=args.betas, eps=args.eps)
+    optimizer = build_optimizer(
+        args.optim, sched, weight_decay=args.wd, betas=args.betas, eps=args.eps
+    )
     state = create_train_state(
         variables, mask, optimizer, jax.random.PRNGKey(args.seed + 1)
     )
+    if args.resume:
+        state = load_checkpoint(args.resume, state)
+        meta_path = os.path.join(args.resume, "checkpoint_best.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                args.start_epoch = json.load(f).get("epoch", -1) + 1
+        log.info("resumed from %s at epoch %d", args.resume, args.start_epoch)
     state = replicate(state, mesh)
     prompts = replicate(prompts, mesh)
 
@@ -164,6 +176,10 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
     )
     aug_key = jax.random.PRNGKey(args.seed + 2)
 
+    from ppt_tpu.utils.logging_utils import ExperimentLogger
+
+    exp_log = ExperimentLogger(args, task_name=args.task)
+
     best_acc = 0.0
     best_epoch = -1
     history = []
@@ -217,8 +233,10 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
                         },
                     )
         history.append(entry)
+        exp_log.log(entry, step=epoch)
         log.info("epoch %d: %s", epoch, entry)
 
+    exp_log.close()
     ctx["state"] = state
     return {"best_acc": best_acc, "best_epoch": best_epoch, "history": history}
 

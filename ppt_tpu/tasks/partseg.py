@@ -148,6 +148,10 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
                     drop_last=True, seed=args.seed)
     aug_key = jax.random.PRNGKey(args.seed + 2)
 
+    from ppt_tpu.utils.logging_utils import ExperimentLogger
+
+    exp_log = ExperimentLogger(args, task_name="partseg")
+
     best = {"instance_miou": 0.0}
     best_epoch = -1
     history = []
@@ -195,8 +199,10 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
                         meta={"epoch": epoch, **best},
                     )
         history.append(entry)
+        exp_log.log(entry, step=epoch)
         log.info("epoch %d: %s", epoch, entry)
 
+    exp_log.close()
     ctx["state"] = state
     return {"best": best, "best_epoch": best_epoch, "history": history}
 

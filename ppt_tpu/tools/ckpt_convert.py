@@ -217,11 +217,128 @@ def convert_pointnet2(sd: Dict[str, Any], msg: bool = False) -> Dict[str, Any]:
     }
 
 
+# ---------------------------------------------------------------------------
+# PointMLP
+# ---------------------------------------------------------------------------
+
+
+def convert_pointmlp(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """ULIP PointMLP -> ``point_encoder/*``. Key layout verified against
+    the instantiated reference model (embedding.net / local_grouper_list /
+    pre|pos_blocks_list.{i}.operation.{j}.net{1,2} / classifier.{0,1,4,5})."""
+    sd = _strip_module(sd)
+    pe = "point_encoder."
+    p: Flat = {}
+    s: Flat = {}
+    if "pc_projection" in sd:
+        p[("pc_projection",)] = _t(sd["pc_projection"])
+
+    def conv_bn(dst, src):
+        _conv1x1(p, dst + ("conv",), sd[src + ".net.0.weight"],
+                 sd.get(src + ".net.0.bias"))
+        _bn(p, s, dst + ("bn",), sd, src + ".net.1")
+
+    def res_block(dst, src):
+        _conv1x1(p, dst + ("conv1",), sd[src + ".net1.0.weight"],
+                 sd.get(src + ".net1.0.bias"))
+        _bn(p, s, dst + ("bn1",), sd, src + ".net1.1")
+        _conv1x1(p, dst + ("conv2",), sd[src + ".net2.0.weight"],
+                 sd.get(src + ".net2.0.bias"))
+        _bn(p, s, dst + ("bn2",), sd, src + ".net2.1")
+
+    conv_bn(("point_encoder", "embedding"), pe + "embedding")
+    stage = 0
+    while f"{pe}local_grouper_list.{stage}.affine_alpha" in sd:
+        g = ("point_encoder", f"grouper{stage}")
+        p[g + ("affine_alpha",)] = _t(sd[f"{pe}local_grouper_list.{stage}.affine_alpha"])
+        p[g + ("affine_beta",)] = _t(sd[f"{pe}local_grouper_list.{stage}.affine_beta"])
+        conv_bn(("point_encoder", f"pre{stage}", "transfer"),
+                f"{pe}pre_blocks_list.{stage}.transfer")
+        j = 0
+        while f"{pe}pre_blocks_list.{stage}.operation.{j}.net1.0.weight" in sd:
+            res_block(("point_encoder", f"pre{stage}", f"res{j}"),
+                      f"{pe}pre_blocks_list.{stage}.operation.{j}")
+            j += 1
+        j = 0
+        while f"{pe}pos_blocks_list.{stage}.operation.{j}.net1.0.weight" in sd:
+            res_block(("point_encoder", f"pos{stage}", f"res{j}"),
+                      f"{pe}pos_blocks_list.{stage}.operation.{j}")
+            j += 1
+        stage += 1
+
+    _linear(p, ("point_encoder", "fc1"), sd[pe + "classifier.0.weight"],
+            sd[pe + "classifier.0.bias"])
+    _bn(p, s, ("point_encoder", "bn1"), sd, pe + "classifier.1")
+    _linear(p, ("point_encoder", "fc2"), sd[pe + "classifier.4.weight"],
+            sd[pe + "classifier.4.bias"])
+    _bn(p, s, ("point_encoder", "bn2"), sd, pe + "classifier.5")
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PointNeXt-S (BaseCls)
+# ---------------------------------------------------------------------------
+
+
+def convert_pointnext(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """ULIP PointNeXt-S (BaseCls) -> ``point_encoder/*``. Key layout
+    verified against the instantiated reference model: stem at
+    ``encoder.encoder.0.0.convs.0.0``; SA stages 1-4 with skipconv +
+    2-layer convs; group-all stage 5; ClsHead at ``prediction.head``."""
+    sd = _strip_module(sd)
+    pe = "point_encoder."
+    p: Flat = {}
+    s: Flat = {}
+    if "pc_projection" in sd:
+        p[("pc_projection",)] = _t(sd["pc_projection"])
+
+    stem = f"{pe}encoder.encoder.0.0.convs.0"
+    _conv1x1(p, ("point_encoder", "stem"), sd[stem + ".0.weight"],
+             sd.get(stem + ".0.bias"))
+
+    stage = 1
+    while f"{pe}encoder.encoder.{stage}.0.convs.0.0.weight" in sd:
+        base = f"{pe}encoder.encoder.{stage}.0"
+        is_global = f"{base}.skipconv.0.weight" not in sd
+        name = (
+            f"stage{stage}_global" if is_global else f"stage{stage}_sa"
+        )
+        dst = ("point_encoder", name)
+        j = 0
+        while f"{base}.convs.{j}.0.weight" in sd:
+            _conv1x1(p, dst + (f"conv{j}", "conv"),
+                     sd[f"{base}.convs.{j}.0.weight"],
+                     sd.get(f"{base}.convs.{j}.0.bias"))
+            _bn(p, s, dst + (f"conv{j}", "bn"), sd, f"{base}.convs.{j}.1")
+            j += 1
+        if not is_global:
+            _conv1x1(p, dst + ("skipconv",), sd[f"{base}.skipconv.0.weight"],
+                     sd.get(f"{base}.skipconv.0.bias"))
+        stage += 1
+
+    # ClsHead: sequential indices 0 and 2 are linear blocks (1, 3 dropout)
+    for our_i, torch_i in enumerate((0, 2)):
+        _linear(p, ("point_encoder", f"head_fc{our_i}"),
+                sd[f"{pe}prediction.head.{torch_i}.0.weight"],
+                sd.get(f"{pe}prediction.head.{torch_i}.0.bias"))
+        _bn(p, s, ("point_encoder", f"head_bn{our_i}"), sd,
+            f"{pe}prediction.head.{torch_i}.1")
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
 CONVERTERS = {
     "slip": convert_slip_text,
     "pointbert": convert_pointbert,
     "pointnet2_ssg": convert_pointnet2,
     "pointnet2_msg": lambda sd: convert_pointnet2(sd, msg=True),
+    "pointmlp": convert_pointmlp,
+    "pointnext": convert_pointnext,
 }
 
 

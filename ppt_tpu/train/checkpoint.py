@@ -62,13 +62,16 @@ def load_checkpoint(path: str, state):
         "step": np.asarray(state.step),
     }
     payload = serialization.from_bytes(template, data)
+
+    def _restore(template_tree, loaded_tree):
+        return jax.tree_util.tree_map(
+            lambda _, p: jax.numpy.asarray(p), template_tree, loaded_tree
+        )
+
     return state.replace(
-        trainable=jax.tree_util.tree_map(
-            lambda t, p: jax.numpy.asarray(p), state.trainable, payload["trainable"]
-        ),
-        batch_stats=jax.tree_util.tree_map(
-            lambda t, p: jax.numpy.asarray(p), state.batch_stats, payload["batch_stats"]
-        ),
+        trainable=_restore(state.trainable, payload["trainable"]),
+        opt_state=_restore(state.opt_state, payload["opt_state"]),
+        batch_stats=_restore(state.batch_stats, payload["batch_stats"]),
         step=jax.numpy.asarray(payload["step"]),
     )
 

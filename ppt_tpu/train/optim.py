@@ -1,0 +1,105 @@
+"""Optimizer & LR-schedule factories.
+
+Capability parity with the vendored openpoints factories (timm-style
+optimizer zoo, ``openpoints/optim/`` — adamw, lamb, lars, adabelief,
+adafactor, sgd, radam, ... — and scheduler zoo, ``openpoints/scheduler/``
+— cosine, multistep, step, poly, plateau-style). Here both map onto
+optax transforms behind string names, so configs port directly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import optax
+
+from ppt_tpu.train.schedules import cosine_with_warmup
+
+
+def build_schedule(
+    name: str,
+    base_lr: float,
+    epochs: int,
+    steps_per_epoch: int,
+    *,
+    final_lr: float = 0.0,
+    warmup_epochs: int = 0,
+    warmup_start_lr: float = 0.0,
+    milestones: Sequence[int] = (120, 160),
+    gamma: float = 0.1,
+    power: float = 0.9,
+) -> Callable:
+    total = epochs * steps_per_epoch
+    warm = warmup_epochs * steps_per_epoch
+    name = name.lower()
+    if name in ("cosine", "coslr"):
+        return cosine_with_warmup(
+            base_lr, final_lr, epochs, steps_per_epoch,
+            warmup_epochs=warmup_epochs, warmup_start_lr=warmup_start_lr,
+        )
+    if name == "multistep":
+        boundaries = {m * steps_per_epoch: gamma for m in milestones}
+        sched = optax.piecewise_constant_schedule(base_lr, boundaries)
+    elif name == "step":
+        sched = optax.exponential_decay(
+            base_lr, steps_per_epoch * max(milestones[0], 1), gamma,
+            staircase=True,
+        )
+    elif name == "poly":
+        sched = optax.polynomial_schedule(
+            base_lr, final_lr, power, total - warm
+        )
+    elif name == "constant":
+        sched = optax.constant_schedule(base_lr)
+    else:
+        raise KeyError(f"unknown schedule {name!r}")
+    if warm:
+        warmup = optax.linear_schedule(warmup_start_lr, base_lr, warm)
+        return optax.join_schedules([warmup, sched], [warm])
+    return sched
+
+
+def build_optimizer(
+    name: str,
+    schedule,
+    *,
+    weight_decay: float = 0.1,
+    betas: Tuple[float, float] = (0.9, 0.98),
+    eps: float = 1e-8,
+    momentum: float = 0.9,
+) -> optax.GradientTransformation:
+    name = name.lower()
+    if name == "adamw":
+        return optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
+                           weight_decay=weight_decay)
+    if name == "adam":
+        return optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps)
+    if name == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(schedule, momentum=momentum),
+        )
+    if name == "lamb":
+        return optax.lamb(schedule, b1=betas[0], b2=betas[1], eps=eps,
+                          weight_decay=weight_decay)
+    if name == "lars":
+        return optax.lars(schedule, weight_decay=weight_decay,
+                          momentum=momentum)
+    if name == "adabelief":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adabelief(schedule, b1=betas[0], b2=betas[1], eps=eps),
+        )
+    if name == "adafactor":
+        return optax.adafactor(schedule, weight_decay_rate=weight_decay)
+    if name == "radam":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.radam(schedule, b1=betas[0], b2=betas[1], eps=eps),
+        )
+    if name == "nadam":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.nadam(schedule, b1=betas[0], b2=betas[1], eps=eps),
+        )
+    raise KeyError(f"unknown optimizer {name!r}")

@@ -170,7 +170,9 @@ def make_train_step(
         metrics = {"loss": loss, "acc": acc * 100.0}
         return new_state, metrics
 
-    return jax.jit(train_step)
+    # Donating the state lets XLA alias the pass-through frozen tree
+    # (hundreds of MB) instead of copying it into the new state each step.
+    return jax.jit(train_step, donate_argnums=(0,))
 
 
 def make_eval_step(model, partseg: bool = False):

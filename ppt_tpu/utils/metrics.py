@@ -115,6 +115,55 @@ def partseg_ious(
     }
 
 
+class ConfusionMatrix:
+    """Accumulating confusion matrix with the openpoints metric surface
+    (``openpoints/utils/metrics.py:51-177``): overall accuracy, mean
+    (macro) class accuracy, per-class IoU and mIoU."""
+
+    def __init__(self, num_classes: int):
+        self.num_classes = num_classes
+        self.matrix = np.zeros((num_classes, num_classes), dtype=np.int64)
+
+    def update(self, preds: np.ndarray, labels: np.ndarray):
+        preds = np.asarray(preds).reshape(-1)
+        labels = np.asarray(labels).reshape(-1)
+        idx = labels * self.num_classes + preds
+        self.matrix += np.bincount(
+            idx, minlength=self.num_classes**2
+        ).reshape(self.num_classes, self.num_classes)
+
+    @property
+    def overall_accuracy(self) -> float:
+        total = self.matrix.sum()
+        return 100.0 * np.trace(self.matrix) / max(total, 1)
+
+    @property
+    def class_accuracy(self) -> np.ndarray:
+        support = self.matrix.sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            acc = np.diag(self.matrix) / support
+        return 100.0 * acc
+
+    @property
+    def mean_accuracy(self) -> float:
+        acc = self.class_accuracy
+        return float(np.nanmean(acc))
+
+    @property
+    def ious(self) -> np.ndarray:
+        inter = np.diag(self.matrix).astype(np.float64)
+        union = (
+            self.matrix.sum(axis=0) + self.matrix.sum(axis=1) - np.diag(self.matrix)
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            iou = inter / union
+        return 100.0 * iou
+
+    @property
+    def miou(self) -> float:
+        return float(np.nanmean(self.ious))
+
+
 class Meter:
     """Host-side running average (the reference's ``AverageMeter``,
     ``utils/utils.py:320-352``, minus the manual dist.all_reduce — metric

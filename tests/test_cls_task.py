@@ -68,3 +68,20 @@ def test_cls_train_and_eval(tmp_path):
     eval_args = _tiny_args(tmp_path, evaluate_3d=True, test_ckpt_addr=ckpt_dir)
     eval_result = cls.main(eval_args)
     assert np.isfinite(eval_result["best_acc"])
+
+
+def test_cls_resume(tmp_path):
+    """--resume restores the trainable partition + optimizer state and
+    continues from the recorded epoch."""
+    from ppt_tpu.tasks import cls
+
+    args = _tiny_args(tmp_path, epochs=2)
+    cls.main(args)
+    ckpt_dir = os.path.join(str(tmp_path), "smoke")
+
+    resume_args = _tiny_args(tmp_path, epochs=4, resume=ckpt_dir)
+    result = cls.main(resume_args)
+    # resumed run starts after the saved best epoch
+    epochs_run = [h["epoch"] for h in result["history"]]
+    assert min(epochs_run) >= 1
+    assert max(epochs_run) == 3

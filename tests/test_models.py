@@ -181,3 +181,59 @@ class TestUlipComposite:
         g = jax.grad(loss_fn)(params["params"])
         gl = np.asarray(g["prompt_learner"]["learnable_tokens"])
         assert np.abs(gl).sum() > 0
+
+
+class TestClassicBackbones:
+    def test_pointnet_classic(self, rng):
+        from ppt_tpu.nn import PointNetClassic
+
+        model = PointNetClassic()
+        pc = _pc(rng, N=256)
+        params = model.init(jax.random.PRNGKey(0), pc)
+        out = model.apply(params, pc)
+        assert out.shape == (2, 256)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_dgcnn(self, rng):
+        from ppt_tpu.nn import DgcnnClassifier
+
+        model = DgcnnClassifier(k=8)
+        pc = _pc(rng, N=128)
+        params = model.init(jax.random.PRNGKey(0), pc)
+        out = model.apply(params, pc)
+        assert out.shape == (2, 256)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_customized_factory(self, rng):
+        """ULIP_CUSTOMIZED template: any encoder producing [B, D] plugs in
+        (reference ULIP_models.py:621-658)."""
+        from ppt_tpu.models.ulip import ulip_customized
+        from ppt_tpu.models import PromptArrays
+        from ppt_tpu.nn import PointNetClassic, TextConfig
+        from ppt_tpu.prompt import build_prompt_spec
+
+        class Args:
+            num_learnable_prompt_tokens = 4
+            task = "cls"
+            compute_dtype = "float32"
+            text_config = TextConfig(width=64, layers=1, heads=4, embed_dim=64)
+
+        spec_m = ulip_customized(Args(), PointNetClassic(), pc_feat_dims=256)
+        pspec = build_prompt_spec(["chair", "car"], n_ctx=4)
+        prompts = PromptArrays.from_spec(pspec)
+        pc = _pc(rng, N=128)
+        variables = spec_m.model.init(jax.random.PRNGKey(0), pc, prompts)
+        logits = spec_m.model.apply(variables, pc, prompts)
+        assert logits.shape == (2, 2)
+
+
+class TestConfusionMatrix:
+    def test_metrics(self):
+        from ppt_tpu.utils.metrics import ConfusionMatrix
+
+        cm = ConfusionMatrix(3)
+        cm.update(np.array([0, 1, 2, 0]), np.array([0, 1, 1, 0]))
+        assert cm.overall_accuracy == 75.0
+        np.testing.assert_allclose(cm.class_accuracy[:2], [100.0, 50.0])
+        assert np.isnan(cm.class_accuracy[2])  # no class-2 support
+        assert 0 < cm.miou <= 100

@@ -1,0 +1,67 @@
+"""Optimizer/schedule factory tests + cosine-warmup curve parity with the
+reference's precomputed numpy schedule."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ppt_tpu.train.optim import build_optimizer, build_schedule
+from ppt_tpu.train.schedules import cosine_with_warmup
+
+
+def reference_cosine(base, final, epochs, niter, warmup_epochs, start):
+    """Transcription of utils.cosine_scheduler (utils/utils.py:253-276)."""
+    warmup_iters = warmup_epochs * niter
+    warmup = np.linspace(start, base, warmup_iters) if warmup_iters else np.array([])
+    iters = np.arange(epochs * niter - warmup_iters)
+    cos = final + 0.5 * (base - final) * (1 + np.cos(np.pi * iters / len(iters)))
+    return np.concatenate([warmup, cos])
+
+
+class TestCosineWarmup:
+    def test_matches_reference_curve(self):
+        base, final, epochs, niter, we, start = 3e-3, 1e-5, 10, 7, 2, 1e-6
+        sched = cosine_with_warmup(base, final, epochs, niter, we, start)
+        ref = reference_cosine(base, final, epochs, niter, we, start)
+        got = np.array([float(sched(i)) for i in range(epochs * niter)])
+        # same endpoints and shape; small definitional offsets allowed
+        # (linspace vs step/total parameterization)
+        np.testing.assert_allclose(got[0], ref[0], rtol=1e-5)
+        assert abs(got[we * niter] - base) / base < 0.01
+        np.testing.assert_allclose(got[-1], final, rtol=0.1, atol=1e-5)
+        assert np.all(np.diff(got[we * niter :]) <= 1e-12)  # monotone decay
+
+    def test_no_warmup(self):
+        sched = cosine_with_warmup(1.0, 0.0, 4, 5)
+        assert abs(float(sched(0)) - 1.0) < 1e-6
+
+
+class TestFactories:
+    @pytest.mark.parametrize(
+        "name", ["adamw", "adam", "sgd", "lamb", "lars", "adabelief",
+                 "adafactor", "radam", "nadam"]
+    )
+    def test_optimizers_step(self, name):
+        import optax
+
+        opt = build_optimizer(name, 1e-3)
+        params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+        state = opt.init(params)
+        grads = {"w": jnp.ones((4, 4)) * 0.1, "b": jnp.ones((4,)) * 0.1}
+        updates, _ = opt.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        assert float(jnp.abs(new["w"] - params["w"]).sum()) > 0
+
+    def test_unknown_optimizer(self):
+        with pytest.raises(KeyError):
+            build_optimizer("nope", 1e-3)
+
+    @pytest.mark.parametrize("name", ["cosine", "multistep", "step", "poly", "constant"])
+    def test_schedules_finite(self, name):
+        sched = build_schedule(name, 1e-3, 10, 5, warmup_epochs=1)
+        vals = [float(sched(i)) for i in (0, 10, 49)]
+        assert all(np.isfinite(v) and v >= 0 for v in vals)
+
+    def test_unknown_schedule(self):
+        with pytest.raises(KeyError):
+            build_schedule("nope", 1e-3, 10, 5)

@@ -46,13 +46,21 @@ def setup():
     mask = trainable_mask(variables["params"], head_type=0)
     sched = cosine_with_warmup(3e-3, 1e-5, 10, 4, warmup_epochs=1, warmup_start_lr=1e-6)
     opt = make_optimizer(sched)
-    state = create_train_state(variables, mask, opt, jax.random.PRNGKey(1))
-    return ds, prompts, model, opt, state
+
+    # the train step donates its state, so each test needs a fresh one —
+    # with copied leaves (donation consumes the underlying buffers, which
+    # are shared with `variables`)
+    def make_state():
+        fresh = jax.tree_util.tree_map(jnp.array, variables)
+        return create_train_state(fresh, mask, opt, jax.random.PRNGKey(1))
+
+    return ds, prompts, model, opt, make_state
 
 
 class TestTraining:
     def test_loss_decreases_and_only_prompts_move(self, setup):
-        ds, prompts, model, opt, state = setup
+        ds, prompts, model, opt, make_state = setup
+        state = make_state()
         step_fn = make_train_step(model, opt, smoothing=0.2)
         loader = Loader(ds, batch_size=8, shuffle=True, drop_last=True,
                         num_processes=1, process_index=0)
@@ -95,7 +103,8 @@ class TestTraining:
         assert acc > 0.3, acc  # chance = 0.25
 
     def test_multidevice_sharded_step(self, setup):
-        ds, prompts, model, opt, state = setup
+        ds, prompts, model, opt, make_state = setup
+        state = make_state()
         mesh = create_mesh()
         assert mesh.devices.size == 8
         step_fn = make_train_step(model, opt, smoothing=0.2)
@@ -110,9 +119,11 @@ class TestTraining:
         new_state, metrics = step_fn(state_r, batch_s, prompts_r)
         assert np.isfinite(float(metrics["loss"]))
 
-        # sharded result == single-device result
+        # sharded result == single-device result (fresh state: the
+        # sharded step donated the previous one)
+        state2 = make_state()
         batch_1 = {k: jnp.asarray(v) for k, v in batch.items()}
-        new_state_1, metrics_1 = step_fn(state, batch_1, prompts)
+        new_state_1, metrics_1 = step_fn(state2, batch_1, prompts)
         np.testing.assert_allclose(
             float(metrics["loss"]), float(metrics_1["loss"]), rtol=2e-4
         )
