@@ -36,7 +36,7 @@ def main():
     pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
     labels = jnp.asarray(rng.randint(0, 40, B))
 
-    variables = model.init(jax.random.PRNGKey(0), pc[:2], prompts)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), pc[:2], prompts)
     mask = trainable_mask(variables["params"], head_type=0)
     opt = make_optimizer(cosine_with_warmup(3e-3, 1e-5, 250, 100, warmup_epochs=1))
     state = create_train_state(variables, mask, opt, jax.random.PRNGKey(1))

@@ -47,6 +47,34 @@ def pointbert_smoothed_ce(
     return -jnp.mean(jnp.sum(target * logp, axis=-1))
 
 
+def soft_target_cross_entropy(
+    logits: jax.Array, target_probs: jax.Array
+) -> jax.Array:
+    """CE against a soft target distribution (openpoints SoftTarget CE,
+    ``openpoints/loss/cross_entropy.py``)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.sum(target_probs.astype(jnp.float32) * logp, axis=-1))
+
+
+def distillation_loss(
+    student_logits: jax.Array,
+    teacher_logits: jax.Array,
+    labels: jax.Array,
+    alpha: float = 0.5,
+    temperature: float = 4.0,
+) -> jax.Array:
+    """Hinton KD: alpha * T^2 * KL(teacher_T || student_T) +
+    (1-alpha) * CE(student, labels) (openpoints DistillCls criterion)."""
+    t = temperature
+    s = jax.nn.log_softmax(student_logits.astype(jnp.float32) / t, axis=-1)
+    p = jax.nn.softmax(teacher_logits.astype(jnp.float32) / t, axis=-1)
+    kd = -jnp.mean(jnp.sum(p * s, axis=-1)) - (
+        -jnp.mean(jnp.sum(p * jnp.log(p + 1e-10), axis=-1))
+    )
+    ce = smoothed_cross_entropy(student_logits, labels)
+    return alpha * t * t * kd + (1.0 - alpha) * ce
+
+
 def _l2_normalize(x: jax.Array) -> jax.Array:
     return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
 

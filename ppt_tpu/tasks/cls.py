@@ -72,7 +72,7 @@ def setup(args: TaskArgs):
         from ppt_tpu.data import append_height
 
         sample = append_height(sample)
-    variables = model.init(jax.random.PRNGKey(args.seed), sample, prompts)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(args.seed), sample, prompts)
 
     if args.pretrained_dir and os.path.isdir(args.pretrained_dir):
         variables = _maybe_load_pretrained(args, variables)

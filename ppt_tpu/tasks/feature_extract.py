@@ -46,7 +46,7 @@ def extract_features(
     prompts = PromptArrays.from_spec(spec)
 
     sample = jnp.asarray(ds.points[:2])
-    variables = model.init(jax.random.PRNGKey(args.seed), sample, prompts)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(args.seed), sample, prompts)
     if args.pretrained_dir and os.path.isdir(args.pretrained_dir):
         from ppt_tpu.train.checkpoint import load_pretrained_backbones
 
@@ -61,10 +61,13 @@ def extract_features(
             variables, load_params_file(args.test_ckpt_addr)
         )
 
+    # variables passed as an argument (closure capture would inline the
+    # param tree as HLO constants and stall compilation)
     @jax.jit
-    def encode(pc):
+    def encode(variables, pc):
         feats = model.apply(
-            variables, pc, train=False, method=lambda m, pc, train: m.point_encoder(pc, train=train)
+            variables, pc, train=False,
+            method=lambda m, pc, train: m.point_encoder(pc, train=train),
         )
         if with_logits:
             logits = model.apply(variables, pc, prompts, train=False)
@@ -75,7 +78,7 @@ def extract_features(
     feats_out, logits_out, labels_out = [], [], []
     for batch in loader:
         valid = batch["valid"]
-        out = encode(jnp.asarray(batch["pc"]))
+        out = encode(variables, jnp.asarray(batch["pc"]))
         if with_logits:
             feats, logits = out
             logits_out.append(np.asarray(logits)[valid])

@@ -51,9 +51,6 @@ def setup(args: TaskArgs):
     test_ds = build_dataset(args.dataset_name, args, eval_split)
 
     # prompt classes = the 50 part names (labels.json 'shapenetpart')
-    if train_ds.name.startswith("synthetic"):
-        args.dataset_name_for_labels = "shapenetpart"
-        args_classnames_source = "shapenetpart"
     import json
 
     labels_path = os.path.join(
@@ -76,7 +73,7 @@ def setup(args: TaskArgs):
     mesh = create_mesh(args.mesh_devices or None, batch_size=args.batch_size)
     sample_pc = jnp.asarray(train_ds.points[:2])
     sample_oh = jnp.eye(16, dtype=jnp.float32)[jnp.asarray(train_ds.labels[:2]) % 16]
-    variables = model.init(
+    variables = jax.jit(model.init, static_argnames=())(
         jax.random.PRNGKey(args.seed), sample_pc, prompts, cls_onehot=sample_oh
     )
     if args.pretrained_dir and os.path.isdir(args.pretrained_dir):

@@ -104,12 +104,16 @@ def main(args: TaskArgs) -> Dict:
     model = build_model(args.model, args).model
     mesh = create_mesh(args.mesh_devices or None, batch_size=args.batch_size)
     sample = jnp.asarray(train_ds.points[:2])
-    variables = model.init(
-        jax.random.PRNGKey(args.seed), sample, None,
-        method=lambda m, pc, _=None: (
-            m.encode_pc(pc), m.encode_captions(jnp.zeros((1, 77), jnp.int32))
-        ),
-    )
+    def _init(key, pc):
+        return model.init(
+            key, pc, None,
+            method=lambda m, pc, _=None: (
+                m.encode_pc(pc),
+                m.encode_captions(jnp.zeros((1, 77), jnp.int32)),
+            ),
+        )
+
+    variables = jax.jit(_init)(jax.random.PRNGKey(args.seed), sample)
     mask = trainable_mask(variables["params"], task="pretrain")
 
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
