@@ -27,40 +27,47 @@ def main():
 
     from __graft_entry__ import _flagship
     from ppt_tpu.models import trainable_mask
-    from ppt_tpu.train import cosine_with_warmup, create_train_state, make_train_step
+    from ppt_tpu.train import (
+        cosine_with_warmup,
+        create_train_state,
+        make_train_multi_step,
+    )
     from ppt_tpu.train.trainer import make_optimizer
 
-    B, N = 32, 1024
+    B, N, K = 32, 1024, 10  # K steps per dispatch (lax.scan)
     model, prompts = _flagship()
     rng = np.random.RandomState(0)
-    pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
-    labels = jnp.asarray(rng.randint(0, 40, B))
+    # DISTINCT batch per step — nothing is loop-invariant in the scan
+    pcs = jnp.asarray(rng.rand(K, B, N, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 40, (K, B)))
 
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), pc[:2], prompts)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), pcs[0, :2], prompts)
     mask = trainable_mask(variables["params"], head_type=0)
     opt = make_optimizer(cosine_with_warmup(3e-3, 1e-5, 250, 100, warmup_epochs=1))
     state = create_train_state(variables, mask, opt, jax.random.PRNGKey(1))
 
-    step_fn = make_train_step(model, opt, smoothing=0.2)
-    batch = {"pc": pc, "label": labels}
+    step_fn = make_train_multi_step(model, opt, smoothing=0.2)
+    batches = {"pc": pcs, "label": labels}
 
-    # warmup + compile
-    state, m = step_fn(state, batch, prompts)
-    jax.block_until_ready(m["loss"])
+    # warmup + compile. NOTE: completion is forced by fetching the loss
+    # VALUE — block_until_ready alone returns early through the remote
+    # TPU tunnel and under-reports step time by >10x.
+    state, m = step_fn(state, batches, prompts)
+    float(m["loss"][-1])
 
-    n_iters = 20
+    n_iters = 4  # dispatches; n_iters*K optimizer steps total
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        state, m = step_fn(state, batch, prompts)
-    jax.block_until_ready(m["loss"])
+        state, m = step_fn(state, batches, prompts)
+    float(m["loss"][-1])  # chained on state; last loss forces the chain
     dt = time.perf_counter() - t0
 
-    clouds_per_sec = B * n_iters / dt
+    clouds_per_sec = B * K * n_iters / dt
     baseline = 2040.0  # PointNeXt-S V100 inference anchor (modelzoo.md:17)
     print(
         json.dumps(
             {
-                "metric": "train clouds/sec/chip (ULIP-PointBERT PPT-Base, B32xN1024, bf16)",
+                "metric": "train clouds/sec/chip (ULIP-PointBERT PPT-Base, B32xN1024, bf16, 10-step scan dispatch)",
                 "value": round(clouds_per_sec, 2),
                 "unit": "clouds/sec",
                 "vs_baseline": round(clouds_per_sec / baseline, 4),

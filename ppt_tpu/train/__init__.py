@@ -3,6 +3,7 @@ from ppt_tpu.train.trainer import (
     TrainState,
     create_train_state,
     make_train_step,
+    make_train_multi_step,
     make_eval_step,
     partition_params,
     merge_params,
@@ -13,6 +14,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "make_train_multi_step",
     "make_eval_step",
     "partition_params",
     "merge_params",

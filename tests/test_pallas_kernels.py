@@ -51,3 +51,44 @@ class TestKNNPallas:
         xyz = rng.randn(1, 128, 3).astype(np.float32)
         got = np.asarray(knn_pallas(3, jnp.asarray(xyz), jnp.asarray(xyz), interpret=True))
         np.testing.assert_array_equal(got[0, :, 0], np.arange(128))
+
+
+class TestFusedGroup:
+    @pytest.mark.parametrize("B,N,G,K", [(2, 256, 32, 8), (3, 200, 16, 4)])
+    def test_fps_batched_matches_reference(self, rng, B, N, G, K):
+        from ppt_tpu.kernels.group import fps_batched
+
+        xyz = rng.rand(B, N, 3).astype(np.float32)
+        want = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), G))
+        got = np.asarray(fps_batched(jnp.asarray(xyz), G, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_knn_gather_matches_reference(self, rng):
+        from ppt_tpu.kernels.group import knn_gather
+
+        B, N, S, K = 2, 256, 32, 8
+        xyz = rng.rand(B, N, 3).astype(np.float32)
+        q_idx = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), S))
+        q = np.take_along_axis(xyz, q_idx[..., None], axis=1)
+        idx, nb = knn_gather(K, jnp.asarray(xyz), jnp.asarray(q), interpret=True)
+        want_idx = np.asarray(ops.knn_point(K, jnp.asarray(xyz), jnp.asarray(q)))
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(idx), -1), np.sort(want_idx, -1)
+        )
+        want_nb = np.asarray(ops.index_points(jnp.asarray(xyz), jnp.asarray(want_idx))) - q[:, :, None, :]
+        # compare as sorted per-group sets (tie order free)
+        a = np.sort(np.asarray(nb).reshape(B, S, -1), -1)
+        b = np.sort(want_nb.reshape(B, S, -1), -1)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_knn_gather_absolute(self, rng):
+        from ppt_tpu.kernels.group import knn_gather
+
+        xyz = rng.rand(1, 128, 3).astype(np.float32)
+        q = xyz[:, :8]
+        idx, nb = knn_gather(
+            4, jnp.asarray(xyz), jnp.asarray(q), relative=False, interpret=True
+        )
+        got = np.asarray(nb)
+        want = xyz[0][np.asarray(idx)[0]]
+        np.testing.assert_allclose(got[0], want, rtol=1e-6)
