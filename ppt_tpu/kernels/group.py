@@ -193,6 +193,119 @@ def knn_gather(
     return idx, neighborhood
 
 
+def _ball_query_kernel(
+    nsample: int, radius: float, n_valid: int, relative: bool,
+    q_ref, xyz_ref, idx_ref, nx_ref, ny_ref, nz_ref, dist_ref,
+):
+    """Ball query with reference semantics (first ``nsample`` in-radius
+    points in increasing index order, padded with the first hit;
+    zero-hit queries clamp to N-1) + fused coordinate gather.
+
+    q_ref: [1, S_blk, 3]; xyz_ref: [1, 3, Npad];
+    idx/nx/ny/nz_ref: [1, S_blk, nsample]; dist_ref: [S_blk, Npad]
+    scratch holds the in-ball mask as 0/1 floats.
+    """
+    s_blk = q_ref.shape[1]
+    n_pad = xyz_ref.shape[2]
+    lane = lax.broadcasted_iota(jnp.int32, (s_blk, n_pad), dimension=1)
+    valid = lane < n_valid
+
+    xs = xyz_ref[0, 0:1, :]
+    ys = xyz_ref[0, 1:2, :]
+    zs = xyz_ref[0, 2:3, :]
+    qx = q_ref[0, :, 0:1]
+    qy = q_ref[0, :, 1:2]
+    qz = q_ref[0, :, 2:3]
+
+    d = (qx - xs) ** 2 + (qy - ys) ** 2 + (qz - zs) ** 2
+    in_ball = (d <= radius * radius) & valid
+    dist_ref[:, :] = in_ball.astype(jnp.float32)
+
+    first = None
+    fx = fy = fz = None
+    for j in range(nsample):
+        mask = dist_ref[:, :] > 0.5
+        cand = jnp.min(
+            jnp.where(mask, lane, n_pad), axis=1, keepdims=True
+        )  # [S_blk, 1], n_pad if exhausted
+        found = cand < n_pad
+        if j == 0:
+            # reference pads with the first hit; all-empty queries clamp
+            first = jnp.where(found, cand, n_valid - 1)
+            idx = first
+        else:
+            idx = jnp.where(found, cand, first)
+        sel = lane == idx
+        gx = jnp.sum(jnp.where(sel, jnp.broadcast_to(xs, sel.shape), 0.0), axis=1, keepdims=True)
+        gy = jnp.sum(jnp.where(sel, jnp.broadcast_to(ys, sel.shape), 0.0), axis=1, keepdims=True)
+        gz = jnp.sum(jnp.where(sel, jnp.broadcast_to(zs, sel.shape), 0.0), axis=1, keepdims=True)
+        if j == 0:
+            fx, fy, fz = gx, gy, gz
+        else:
+            gx = jnp.where(found, gx, fx)
+            gy = jnp.where(found, gy, fy)
+            gz = jnp.where(found, gz, fz)
+        idx_ref[0, :, j : j + 1] = idx.astype(jnp.int32)
+        if relative:
+            nx_ref[0, :, j : j + 1] = gx - qx
+            ny_ref[0, :, j : j + 1] = gy - qy
+            nz_ref[0, :, j : j + 1] = gz - qz
+        else:
+            nx_ref[0, :, j : j + 1] = gx
+            ny_ref[0, :, j : j + 1] = gy
+            nz_ref[0, :, j : j + 1] = gz
+        dist_ref[:, :] = jnp.where(lane == cand, 0.0, dist_ref[:, :])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nsample", "radius", "relative", "interpret")
+)
+def ball_query_gather(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    *,
+    relative: bool = True,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Ball query + coordinate gather in one kernel.
+
+    Returns (idx [B, S, nsample] int32, grouped_xyz [B, S, nsample, 3]
+    float32 — center-relative when ``relative``). Matches
+    ``ops.query_ball_point`` + ``index_points`` + subtraction.
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    s_blk = 128 if S % 128 == 0 else 8
+    assert S % s_blk == 0, f"S={S} must be a multiple of 8"
+    n_pad = _round_up(N, 128)
+
+    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
+    if n_pad != N:
+        xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - N)))
+
+    out_spec = pl.BlockSpec((1, s_blk, nsample), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM)
+    fshape = jax.ShapeDtypeStruct((B, S, nsample), jnp.float32)
+    idx, nx, ny, nz = pl.pallas_call(
+        functools.partial(_ball_query_kernel, nsample, float(radius), N, relative),
+        grid=(B, S // s_blk),
+        in_specs=[
+            pl.BlockSpec((1, s_blk, 3), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n_pad), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
+            fshape, fshape, fshape,
+        ),
+        scratch_shapes=[pltpu.VMEM((s_blk, n_pad), jnp.float32)],
+        interpret=interpret,
+    )(new_xyz.astype(jnp.float32), xyz_t)
+    grouped = jnp.stack([nx, ny, nz], axis=-1)
+    return idx, grouped
+
+
 def fused_group(
     xyz: jax.Array, num_group: int, group_size: int
 ) -> Tuple[jax.Array, jax.Array]:

@@ -74,12 +74,24 @@ class SetAbstractionMsg(nn.Module):
     ) -> Tuple[jax.Array, jax.Array]:
         fps_idx = ops.farthest_point_sample(xyz, self.npoint)
         new_xyz = ops.index_points(xyz, fps_idx)
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
         outs = []
         for i, (radius, nsample) in enumerate(
             zip(self.radius_list, self.nsample_list)
         ):
-            idx = ops.query_ball_point(radius, nsample, xyz, new_xyz)
-            grouped_xyz = ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
+            if on_tpu and self.npoint % 8 == 0:
+                from ppt_tpu.kernels.group import ball_query_gather
+
+                idx, grouped_xyz = ball_query_gather(
+                    float(radius), nsample, xyz, new_xyz, relative=True
+                )
+                grouped_xyz = grouped_xyz.astype(xyz.dtype)
+            else:
+                idx = ops.query_ball_point(radius, nsample, xyz, new_xyz)
+                grouped_xyz = ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
             if points is not None:
                 grouped = jnp.concatenate(
                     [ops.index_points(points, idx), grouped_xyz], axis=-1

@@ -109,10 +109,22 @@ class SetAbstractionNext(nn.Module):
         npoint = N // self.stride
         fps_idx = ops.farthest_point_sample(xyz, npoint)
         new_xyz = ops.index_points(xyz, fps_idx)
-        idx = ops.query_ball_point(self.radius, self.nsample, xyz, new_xyz)
-        dp = (
-            ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
-        ) / self.radius  # normalize_dp (group.py:250-253)
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu and npoint % 8 == 0:
+            from ppt_tpu.kernels.group import ball_query_gather
+
+            idx, rel = ball_query_gather(
+                float(self.radius), self.nsample, xyz, new_xyz, relative=True
+            )
+            dp = rel.astype(xyz.dtype) / self.radius  # normalize_dp
+        else:
+            idx = ops.query_ball_point(self.radius, self.nsample, xyz, new_xyz)
+            dp = (
+                ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
+            ) / self.radius  # normalize_dp (group.py:250-253)
         fj = ops.index_points(feats, idx)
         x = jnp.concatenate([dp.astype(self.dtype), fj], axis=-1)
 

@@ -85,6 +85,13 @@ def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     return index_points(points, idx)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # no backend yet
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=("npoint",))
 def farthest_point_sample(
     xyz: jax.Array,
@@ -111,6 +118,12 @@ def farthest_point_sample(
     """
     B, N, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
+    if start_idx is None and _on_tpu():
+        # sublane-batched Pallas kernel: exact same indices, ~free on v5e
+        # (vs ~4.5 ms for this XLA loop at B32/N1024/npoint512)
+        from ppt_tpu.kernels.group import fps_batched
+
+        return fps_batched(xyz, npoint)
     if start_idx is None:
         farthest0 = jnp.zeros((B,), dtype=jnp.int32)
     else:
@@ -229,9 +242,19 @@ def sample_and_group(
     """
     fps_idx = farthest_point_sample(xyz, npoint, start_idx=start_idx)
     new_xyz = index_points(xyz, fps_idx)
-    idx = query_ball_point(radius, nsample, xyz, new_xyz)
-    grouped_xyz = index_points(xyz, idx)  # [B, npoint, nsample, 3]
-    grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
+    if _on_tpu() and npoint % 8 == 0 and not return_fps:
+        # fused Pallas ball-query+gather: rel coords come out of the
+        # kernel's VMEM tiles; only feature gathers stay XLA
+        from ppt_tpu.kernels.group import ball_query_gather
+
+        idx, grouped_xyz_norm = ball_query_gather(
+            float(radius), nsample, xyz, new_xyz, relative=True
+        )
+        grouped_xyz_norm = grouped_xyz_norm.astype(xyz.dtype)
+    else:
+        idx = query_ball_point(radius, nsample, xyz, new_xyz)
+        grouped_xyz = index_points(xyz, idx)  # [B, npoint, nsample, 3]
+        grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
     if points is not None:
         grouped_points = index_points(points, idx)
         new_points = jnp.concatenate([grouped_xyz_norm, grouped_points], axis=-1)

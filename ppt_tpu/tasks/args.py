@@ -68,6 +68,7 @@ class TaskArgs:
     task: str = "cls"
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     mesh_devices: int = 0  # 0 = all
+    steps_per_dispatch: int = 1  # >1: lax.scan over stacked batches
     # experiment tracking
     proj_name: str = "PPT_TPU"
     exp_name: str = ""

@@ -168,6 +168,13 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
     prompts, mesh = ctx["prompts"], ctx["mesh"]
     train_ds, test_ds = ctx["train_ds"], ctx["test_ds"]
 
+    K = max(args.steps_per_dispatch, 1)
+    if K > 1:
+        from ppt_tpu.train import make_train_multi_step
+
+        multi_fn = make_train_multi_step(
+            model, optimizer, smoothing=args.label_smoothing
+        )
     step_fn = make_train_step(model, optimizer, smoothing=args.label_smoothing)
     eval_fn = make_eval_step(model)
     loader = Loader(
@@ -188,6 +195,7 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
         loss_meter, acc_meter = Meter("loss"), Meter("acc")
         t0 = time.time()
         n_batches = len(loader)
+        pending = []  # batches awaiting a multi-step dispatch
         for it, batch in enumerate(loader):
             # data-efficiency early break (main_cls.py:173-174)
             if it / max(n_batches, 1) > args.data_ratio:
@@ -198,13 +206,34 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
             jbatch = shard_batch(
                 {"pc": pc, "label": jnp.asarray(batch["label"])}, mesh
             )
-            state, metrics = step_fn(state, jbatch, prompts)
-            loss_meter.update(float(metrics["loss"]), len(batch["label"]))
-            acc_meter.update(float(metrics["acc"]), len(batch["label"]))
+            if K > 1:
+                pending.append(jbatch)
+                if len(pending) < K:
+                    continue
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *pending
+                )
+                pending = []
+                state, metrics = multi_fn(state, stacked, prompts)
+                loss_meter.update(
+                    float(jnp.mean(metrics["loss"])), K * len(batch["label"])
+                )
+                acc_meter.update(
+                    float(jnp.mean(metrics["acc"])), K * len(batch["label"])
+                )
+            else:
+                state, metrics = step_fn(state, jbatch, prompts)
+                loss_meter.update(float(metrics["loss"]), len(batch["label"]))
+                acc_meter.update(float(metrics["acc"]), len(batch["label"]))
             if not np.isfinite(loss_meter.avg):
                 raise FloatingPointError(
                     f"non-finite loss at epoch {epoch}"
                 )  # reference sys.exit(1), main_cls.py:205-207
+        # leftover batches (< K) run through the single-step path
+        for jbatch in pending:
+            state, metrics = step_fn(state, jbatch, prompts)
+            loss_meter.update(float(metrics["loss"]), args.batch_size)
+            acc_meter.update(float(metrics["acc"]), args.batch_size)
 
         entry = {
             "epoch": epoch,

@@ -85,3 +85,14 @@ def test_cls_resume(tmp_path):
     epochs_run = [h["epoch"] for h in result["history"]]
     assert min(epochs_run) >= 1
     assert max(epochs_run) == 3
+
+
+def test_cls_multi_step_dispatch(tmp_path):
+    """steps_per_dispatch>1 trains via the scan path and still converges
+    to a checkpoint."""
+    from ppt_tpu.tasks import cls
+
+    args = _tiny_args(tmp_path, epochs=2, steps_per_dispatch=2, exp_name="multi")
+    result = cls.main(args)
+    assert result["best_epoch"] >= 0
+    assert np.isfinite(result["best_acc"])

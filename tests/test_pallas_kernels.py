@@ -92,3 +92,38 @@ class TestFusedGroup:
         got = np.asarray(nb)
         want = xyz[0][np.asarray(idx)[0]]
         np.testing.assert_allclose(got[0], want, rtol=1e-6)
+
+
+class TestBallQueryGather:
+    @pytest.mark.parametrize("radius,K", [(0.2, 8), (0.05, 6)])
+    def test_matches_reference(self, rng, radius, K):
+        from ppt_tpu.kernels.group import ball_query_gather
+
+        B, N, S = 2, 200, 16
+        xyz = rng.rand(B, N, 3).astype(np.float32)
+        q_idx = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), S))
+        q = np.take_along_axis(xyz, q_idx[..., None], axis=1)
+        idx, grouped = ball_query_gather(
+            radius, K, jnp.asarray(xyz), jnp.asarray(q), interpret=True
+        )
+        want_idx = np.asarray(
+            ops.query_ball_point(radius, K, jnp.asarray(xyz), jnp.asarray(q))
+        )
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+        want_grouped = (
+            np.asarray(ops.index_points(jnp.asarray(xyz), jnp.asarray(want_idx)))
+            - q[:, :, None, :]
+        )
+        np.testing.assert_allclose(
+            np.asarray(grouped), want_grouped, rtol=1e-5, atol=1e-6
+        )
+
+    def test_empty_neighborhood_clamps(self, rng):
+        from ppt_tpu.kernels.group import ball_query_gather
+
+        xyz = (rng.rand(1, 128, 3) * 100).astype(np.float32)
+        q = np.full((1, 8, 3), -1e3, np.float32)  # far from everything
+        idx, _ = ball_query_gather(
+            0.01, 4, jnp.asarray(xyz), jnp.asarray(q), interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(idx), 127)
