@@ -59,3 +59,24 @@ def test_hard_mode_straight_through(setup):
     cb = np.asarray(g["codebook"])
     assert np.isfinite(cb).all()
     assert np.abs(cb).sum() > 0  # gradients reach the codebook through ST
+
+
+def test_dvae_pretrain_driver(tmp_path):
+    """dVAE trainer end-to-end: reconstruction loss decreases over a few
+    epochs of synthetic data."""
+    from ppt_tpu.tasks import dvae_pretrain
+    from ppt_tpu.tasks.args import TaskArgs
+
+    args = TaskArgs(
+        dataset_name="synthetic", npoints=64, batch_size=8, epochs=3,
+        warmup_epochs=0, lr=1e-3, output_dir=str(tmp_path),
+        exp_name="dvae_smoke", pretrained_dir="",
+    )
+    args.num_classes = 2
+    args.samples_per_class = 8
+    result = dvae_pretrain.main(args, config=TINY)
+    hist = result["history"]
+    assert len(hist) == 3
+    assert np.isfinite(hist[-1]["recon"])
+    assert hist[-1]["recon"] < hist[0]["recon"]  # reconstruction improves
+    assert hist[-1]["temperature"] < 1.0  # annealing active
