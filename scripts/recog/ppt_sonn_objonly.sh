@@ -1,0 +1,7 @@
+#!/usr/bin/env bash
+# PPT recognition on ScanObjectNN obj_only variant
+# (reference scripts/recog/cls-pointbert-sonn_obj_only-*.sh)
+set -euo pipefail
+cd "$(dirname "$0")/../.."
+python main_cls.py --config configs/experiments/ppt_ptb_sonn_hardest.yaml \
+  --sonn_type obj_only --exp_name ppt_sonn_objonly "$@"
