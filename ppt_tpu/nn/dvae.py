@@ -127,7 +127,30 @@ class DiscreteVAE(nn.Module):
     config: DvaeConfig = DvaeConfig()
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.encoder = MiniPointNet(cfg.encoder_dims, dtype=self.dtype)
+        self.dgcnn_1 = EdgeConvStack(cfg.num_tokens, dtype=self.dtype)
+        self.codebook = self.param(
+            "codebook", nn.initializers.normal(1.0),
+            (cfg.num_tokens, cfg.tokens_dims),
+        )
+        self.dgcnn_2 = EdgeConvStack(cfg.decoder_dims, dtype=self.dtype)
+        self.decoder = FoldingDecoder(cfg.group_size, dtype=self.dtype)
+
+    def group_logits(
+        self, neighborhood: jax.Array, center: jax.Array, train: bool = False
+    ) -> jax.Array:
+        """Codebook logits per group [B, G, num_tokens]."""
+        tokens = self.encoder(neighborhood, train)
+        return self.dgcnn_1(tokens, center)
+
+    def tokenize(
+        self, neighborhood: jax.Array, center: jax.Array, train: bool = False
+    ) -> jax.Array:
+        """Discrete group ids [B, G] — the MPM pretraining targets."""
+        return jnp.argmax(self.group_logits(neighborhood, center, train), axis=-1)
+
     def __call__(
         self,
         pts: jax.Array,
@@ -137,17 +160,9 @@ class DiscreteVAE(nn.Module):
     ):
         cfg = self.config
         neighborhood, center = group_points(pts, cfg.num_group, cfg.group_size)
-        tokens = MiniPointNet(cfg.encoder_dims, dtype=self.dtype, name="encoder")(
-            neighborhood, train
-        )
-        logits = EdgeConvStack(cfg.num_tokens, dtype=self.dtype, name="dgcnn_1")(
-            tokens, center
-        )  # [B, G, num_tokens]
+        logits = self.group_logits(neighborhood, center, train)
 
-        codebook = self.param(
-            "codebook", nn.initializers.normal(1.0),
-            (cfg.num_tokens, cfg.tokens_dims),
-        )
+        codebook = self.codebook
         if train:
             g = -jnp.log(-jnp.log(
                 jax.random.uniform(self.make_rng("gumbel"), logits.shape,
@@ -163,12 +178,8 @@ class DiscreteVAE(nn.Module):
             y = one_hot + y - jax.lax.stop_gradient(y)  # straight-through
 
         sampled = jnp.einsum("bgn,nc->bgc", y, codebook.astype(y.dtype))
-        feature = EdgeConvStack(cfg.decoder_dims, dtype=self.dtype, name="dgcnn_2")(
-            sampled, center
-        )
-        coarse, fine = FoldingDecoder(
-            cfg.group_size, dtype=self.dtype, name="decoder"
-        )(feature, train)
+        feature = self.dgcnn_2(sampled, center)
+        coarse, fine = self.decoder(feature, train)
 
         whole_fine = (fine + center[:, :, None, :]).reshape(pts.shape[0], -1, 3)
         whole_coarse = (coarse + center[:, :, None, :]).reshape(pts.shape[0], -1, 3)
