@@ -215,6 +215,12 @@ def ulip_dgcnn(args) -> ModelSpec:
     return _make("ULIP_DGCNN", DgcnnClassifier(), 256, args)
 
 
+def ulip_pct(args) -> ModelSpec:
+    from ppt_tpu.nn import Pct
+
+    return _make("ULIP_PCT", Pct(), 256, args)
+
+
 MODEL_REGISTRY: Dict[str, Callable[..., ModelSpec]] = {
     "ULIP_PN_SSG": ulip_pn_ssg,
     "ULIP_PN_MSG": ulip_pn_msg,
@@ -224,6 +230,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., ModelSpec]] = {
     "ULIP_PN_NEXT": ulip_pn_next,
     "ULIP_PointNet": ulip_pointnet,
     "ULIP_DGCNN": ulip_dgcnn,
+    "ULIP_PCT": ulip_pct,
 }
 
 

@@ -5,6 +5,7 @@ from ppt_tpu.nn.pointnet2 import PointNet2Ssg, PointNet2Msg
 from ppt_tpu.nn.pointmlp import PointMLP
 from ppt_tpu.nn.pointnext import PointNext, PointNextConfig
 from ppt_tpu.nn.classic import PointNetClassic, DgcnnClassifier
+from ppt_tpu.nn.pct import Pct
 
 __all__ = [
     "LayerNormF32",
@@ -23,4 +24,5 @@ __all__ = [
     "PointNextConfig",
     "PointNetClassic",
     "DgcnnClassifier",
+    "Pct",
 ]

@@ -237,3 +237,26 @@ class TestConfusionMatrix:
         np.testing.assert_allclose(cm.class_accuracy[:2], [100.0, 50.0])
         assert np.isnan(cm.class_accuracy[2])  # no class-2 support
         assert 0 < cm.miou <= 100
+
+
+class TestPct:
+    def test_pct_forward(self, rng):
+        from ppt_tpu.nn import Pct
+
+        model = Pct()
+        pc = _pc(rng, N=600)
+        params = model.init(jax.random.PRNGKey(0), pc)
+        out = model.apply(params, pc)
+        assert out.shape == (2, 256)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_offset_attention_residual(self, rng):
+        from ppt_tpu.nn.pct import OffsetAttention
+
+        model = OffsetAttention(32)
+        x = jnp.asarray(rng.randn(2, 16, 32).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x)
+        assert out.shape == x.shape
+        # tied q/k weights: only one qk kernel parameter exists
+        assert "qk_conv" in params["params"]
