@@ -1,3 +1,11 @@
+from ppt_tpu.ops.losses3d import (
+    chamfer_l1,
+    chamfer_l2,
+    chamfer_l1_split,
+    chamfer_l2_split,
+    emd_distance,
+)
+from ppt_tpu.ops import ragged
 from ppt_tpu.ops.geometry import (
     square_distance,
     index_points,
@@ -24,4 +32,10 @@ __all__ = [
     "three_nn",
     "three_interpolate",
     "group_points",
+    "chamfer_l1",
+    "chamfer_l2",
+    "chamfer_l1_split",
+    "chamfer_l2_split",
+    "emd_distance",
+    "ragged",
 ]
