@@ -69,6 +69,7 @@ class TaskArgs:
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     mesh_devices: int = 0  # 0 = all
     steps_per_dispatch: int = 1  # >1: lax.scan over stacked batches
+    votes: int = 1  # eval-time augmentation voting (openpoints --vote)
     # experiment tracking
     proj_name: str = "PPT_TPU"
     exp_name: str = ""

@@ -140,21 +140,34 @@ def _maybe_load_pretrained(args: TaskArgs, variables):
         return variables
 
 
-def validate(state, eval_fn, test_ds, prompts, args, mesh) -> Dict[str, float]:
+def validate(
+    state, eval_fn, test_ds, prompts, args, mesh, votes: int = 1
+) -> Dict[str, float]:
+    """Eval loop; ``votes > 1`` averages logits over randomly scaled/
+    shifted copies of each batch (the openpoints voting-eval protocol,
+    ``examples/classification/train.py`` --vote)."""
     loader = Loader(test_ds, batch_size=args.batch_size, shuffle=False)
+    vote_key = jax.random.PRNGKey(args.seed + 7)
     preds, labels = [], []
     for batch in loader:
         valid = batch.pop("valid")
-        jbatch = shard_batch(
-            {"pc": batch["pc"].astype(np.float32), "label": batch["label"]},
-            mesh,
-        )
-        if args.use_height:
-            from ppt_tpu.data import append_height
+        pc0 = jnp.asarray(batch["pc"].astype(np.float32))
+        logits_sum = None
+        for v in range(max(votes, 1)):
+            pc = pc0
+            if v > 0:
+                from ppt_tpu.data.augment import translate_pointcloud
 
-            jbatch["pc"] = append_height(jbatch["pc"])
-        logits = np.asarray(eval_fn(state, jbatch, prompts))
-        preds.append(np.argmax(logits, -1)[valid])
+                vote_key, k = jax.random.split(vote_key)
+                pc = translate_pointcloud(k, pc)
+            jbatch = shard_batch({"pc": pc, "label": batch["label"]}, mesh)
+            if args.use_height:
+                from ppt_tpu.data import append_height
+
+                jbatch["pc"] = append_height(jbatch["pc"])
+            logits = np.asarray(eval_fn(state, jbatch, prompts))
+            logits_sum = logits if logits_sum is None else logits_sum + logits
+        preds.append(np.argmax(logits_sum, -1)[valid])
         labels.append(batch["label"][valid])
     preds = np.concatenate(preds)
     labels = np.concatenate(labels)
@@ -242,7 +255,8 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
             "epoch_time": time.time() - t0,
         }
         if (epoch % args.eval_freq) == 0 or epoch == args.epochs - 1:
-            val = validate(state, eval_fn, test_ds, prompts, args, mesh)
+            val = validate(state, eval_fn, test_ds, prompts, args, mesh,
+                           votes=args.votes)
             entry["val_acc1"] = val["acc1"]
             if val["acc1"] > best_acc:
                 best_acc = val["acc1"]

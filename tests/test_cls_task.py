@@ -96,3 +96,12 @@ def test_cls_multi_step_dispatch(tmp_path):
     result = cls.main(args)
     assert result["best_epoch"] >= 0
     assert np.isfinite(result["best_acc"])
+
+
+def test_cls_voting_eval(tmp_path):
+    """votes>1 averages logits over augmented eval copies."""
+    from ppt_tpu.tasks import cls
+
+    args = _tiny_args(tmp_path, epochs=1, votes=3, exp_name="vote")
+    result = cls.main(args)
+    assert np.isfinite(result["best_acc"])
