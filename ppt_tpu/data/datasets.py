@@ -309,6 +309,9 @@ def make_synthetic(
 ) -> ArrayDataset:
     """Structured random clouds: each class is a distinct mixture of
     gaussian blobs so that learning is actually possible in smoke runs."""
+    if partseg:
+        # object categories live in the fixed 16-way ShapeNetPart space
+        num_classes = min(num_classes, len(SHAPENETPART_CATEGORIES))
     rng = np.random.RandomState(seed)
     M = num_classes * samples_per_class
     pts = np.zeros((M, npoints, 3), dtype=np.float32)
