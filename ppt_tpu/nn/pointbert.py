@@ -73,11 +73,43 @@ def group_points(
     return neighborhood - center[:, :, None, :], center
 
 
+class _SplitDense(nn.Module):
+    """Dense over ``concat([global, local])`` computed WITHOUT the concat.
+
+    The global half is identical for every neighbor in a group, so its
+    matmul runs once per group ([B, G, Cg] x Wg) and broadcasts — the
+    reference's torch formulation recomputes it M=32 times and
+    materializes the [B, G, M, Cg+Cl] concat (0.5 GB at PPT-Base shapes).
+    Parameter layout is the single fused kernel/bias, so torch checkpoint
+    conversion is unchanged (rows [0:Cg] = global, [Cg:] = local).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, global_feat: jax.Array, local_feat: jax.Array) -> jax.Array:
+        cg = global_feat.shape[-1]
+        cl = local_feat.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (cg + cl, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(self.dtype)
+        out_g = global_feat @ k[:cg]  # [B, G, F]
+        out_l = local_feat @ k[cg:]  # [B, G, M, F]
+        return out_l + out_g[:, :, None, :] + bias.astype(self.dtype)
+
+
 class MiniPointNet(nn.Module):
     """Per-group feature extractor (``Encoder``, dvae.py:184-215).
 
     Two shared-MLP stages with a global-max bottleneck in between; the
-    1x1 convs are Dense layers over channels-last group tensors.
+    1x1 convs are Dense layers over channels-last group tensors. The
+    second stage's concat-with-global is folded into a split matmul
+    (see ``_SplitDense``).
     """
 
     out_dim: int = 256
@@ -92,11 +124,8 @@ class MiniPointNet(nn.Module):
         )(x)
         x = nn.relu(x)
         x = nn.Dense(256, dtype=self.dtype, name="conv1b")(x)  # [B,G,M,256]
-        g = jnp.max(x, axis=2, keepdims=True)  # [B,G,1,256]
-        x = jnp.concatenate(
-            [jnp.broadcast_to(g, x.shape), x], axis=-1
-        )  # [B,G,M,512]
-        x = nn.Dense(512, dtype=self.dtype, name="conv2a")(x)
+        g = jnp.max(x, axis=2)  # [B,G,256]
+        x = _SplitDense(512, dtype=self.dtype, name="conv2a")(g, x)
         x = nn.BatchNorm(
             use_running_average=not train, dtype=jnp.float32, name="bn2"
         )(x)

@@ -260,3 +260,22 @@ class TestPct:
         assert out.shape == x.shape
         # tied q/k weights: only one qk kernel parameter exists
         assert "qk_conv" in params["params"]
+
+
+def test_split_dense_equals_concat_dense(rng):
+    """_SplitDense(g, l) == Dense(concat[g_tiled, l]) with the same fused
+    kernel — the checkpoint layout contract."""
+    from ppt_tpu.nn.pointbert import _SplitDense
+
+    g = jnp.asarray(rng.randn(2, 4, 6).astype(np.float32))
+    l = jnp.asarray(rng.randn(2, 4, 5, 3).astype(np.float32))
+    model = _SplitDense(7)
+    params = model.init(jax.random.PRNGKey(0), g, l)
+    got = np.asarray(model.apply(params, g, l))
+
+    kernel = np.asarray(params["params"]["kernel"])
+    bias = np.asarray(params["params"]["bias"])
+    tiled = np.broadcast_to(np.asarray(g)[:, :, None, :], (2, 4, 5, 6))
+    concat = np.concatenate([tiled, np.asarray(l)], axis=-1)
+    want = concat @ kernel + bias
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
