@@ -164,7 +164,9 @@ def knn_gather(
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
-    s_blk = 128 if S % 128 == 0 else 8
+    # 256-wide query tiles measured fastest on v5e (4.2 vs 4.8 ms at the
+    # PPT-Base shapes); fall back to 128/8 for smaller S
+    s_blk = 256 if S % 256 == 0 else (128 if S % 128 == 0 else 8)
     assert S % s_blk == 0, f"S={S} must be a multiple of 8"
     n_pad = _round_up(N, 128)
 

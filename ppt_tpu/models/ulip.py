@@ -221,6 +221,12 @@ def ulip_pct(args) -> ModelSpec:
     return _make("ULIP_PCT", Pct(), 256, args)
 
 
+def ulip_curvenet(args) -> ModelSpec:
+    from ppt_tpu.nn import CurveNet
+
+    return _make("ULIP_CurveNet", CurveNet(), 256, args)
+
+
 MODEL_REGISTRY: Dict[str, Callable[..., ModelSpec]] = {
     "ULIP_PN_SSG": ulip_pn_ssg,
     "ULIP_PN_MSG": ulip_pn_msg,
@@ -231,6 +237,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., ModelSpec]] = {
     "ULIP_PointNet": ulip_pointnet,
     "ULIP_DGCNN": ulip_dgcnn,
     "ULIP_PCT": ulip_pct,
+    "ULIP_CurveNet": ulip_curvenet,
 }
 
 

@@ -6,6 +6,7 @@ from ppt_tpu.nn.pointmlp import PointMLP
 from ppt_tpu.nn.pointnext import PointNext, PointNextConfig
 from ppt_tpu.nn.classic import PointNetClassic, DgcnnClassifier
 from ppt_tpu.nn.pct import Pct
+from ppt_tpu.nn.curvenet import CurveNet, CurveNetConfig
 
 __all__ = [
     "LayerNormF32",
@@ -25,4 +26,6 @@ __all__ = [
     "PointNetClassic",
     "DgcnnClassifier",
     "Pct",
+    "CurveNet",
+    "CurveNetConfig",
 ]
