@@ -32,6 +32,8 @@ from ppt_tpu import ops
 
 @dataclasses.dataclass(frozen=True)
 class PointMLPConfig:
+    points: int = 1024  # anchors derive from this STATIC count (the
+    # reference divides config `points`, not the runtime cloud size)
     embed_dim: int = 64
     res_expansion: float = 1.0
     use_xyz: bool = False
@@ -195,7 +197,7 @@ class PointMLP(nn.Module):
         )
 
         channel = cfg.embed_dim
-        anchors = N
+        anchors = cfg.points
         coords = xyz
         for i in range(len(cfg.pre_blocks)):
             out_channel = channel * cfg.dim_expansion[i]
