@@ -33,7 +33,7 @@ import dataclasses
 import json
 import os
 import pickle
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 

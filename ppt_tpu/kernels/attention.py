@@ -16,10 +16,7 @@ tests).
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

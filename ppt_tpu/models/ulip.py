@@ -24,7 +24,7 @@ optimizer updates; gradients still flow *through* the frozen towers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Sequence
+from typing import Any, Callable, Dict, Optional
 
 import chex
 import jax
@@ -44,7 +44,7 @@ from ppt_tpu.nn import (
     TextConfig,
     TextTransformer,
 )
-from ppt_tpu.prompt import PromptLearner, PromptSpec, build_prompt_spec
+from ppt_tpu.prompt import PromptLearner, PromptSpec
 
 
 @chex.dataclass(frozen=True)

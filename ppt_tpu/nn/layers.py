@@ -8,7 +8,7 @@ QuickGELU (``:30-32``), and timm-style DropPath (stochastic depth).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

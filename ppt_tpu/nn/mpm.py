@@ -21,13 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ppt_tpu.nn.dvae import DiscreteVAE, DvaeConfig, EdgeConvStack
-from ppt_tpu.nn.pointbert import (
-    MiniPointNet,
-    PointBertConfig,
-    VitBlock,
-    group_points,
-)
+from ppt_tpu.nn.dvae import DiscreteVAE
+from ppt_tpu.nn.pointbert import MiniPointNet, PointBertConfig, VitBlock
 
 
 def sample_group_mask(

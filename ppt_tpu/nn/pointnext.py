@@ -18,7 +18,7 @@ single SA); the InvResMLP block is still provided for the scaled variants
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ Layout semantics (parity with reference ``PromptLearner``):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

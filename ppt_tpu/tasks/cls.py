@@ -21,7 +21,7 @@ import json
 import logging
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -33,13 +33,11 @@ from ppt_tpu.parallel import create_mesh, replicate, shard_batch
 from ppt_tpu.prompt import build_prompt_spec
 from ppt_tpu.tasks.args import TaskArgs
 from ppt_tpu.train import (
-    cosine_with_warmup,
     create_train_state,
     make_eval_step,
     make_train_step,
 )
 from ppt_tpu.train.checkpoint import load_checkpoint, save_checkpoint
-from ppt_tpu.train.trainer import make_optimizer
 from ppt_tpu.utils.metrics import Meter, per_class_accuracy
 
 log = logging.getLogger(__name__)

@@ -27,7 +27,7 @@ from ppt_tpu.nn.pointbert import PointBertConfig, group_points
 from ppt_tpu.parallel import create_mesh, replicate, shard_batch
 from ppt_tpu.tasks.args import TaskArgs
 from ppt_tpu.train import cosine_with_warmup
-from ppt_tpu.train.checkpoint import load_params_file, save_checkpoint
+from ppt_tpu.train.checkpoint import save_checkpoint
 from ppt_tpu.train.optim import build_optimizer
 from ppt_tpu.train.trainer import TrainState
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ppt_tpu.data import Loader, build_dataset, train_augment
+from ppt_tpu.data import Loader, build_dataset
 from ppt_tpu.data.datasets import SHAPENETPART_PART_RANGES
 from ppt_tpu.models import PromptArrays, build_model, trainable_mask
 from ppt_tpu.parallel import create_mesh, replicate, shard_batch

@@ -9,7 +9,7 @@ optax transforms behind string names, so configs port directly.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import optax
 

@@ -19,10 +19,8 @@ The logit-scale clamp to [0, ln(100)] after each update reproduces
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
-import chex
 import jax
 import jax.numpy as jnp
 import optax
