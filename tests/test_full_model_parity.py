@@ -183,3 +183,112 @@ def test_pointnet2_ssg_full_forward_parity(rng):
     )
     got = np.asarray(model.apply(merged, jnp.asarray(pc.numpy())))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference unavailable")
+def test_pointnext_full_forward_parity(rng):
+    """Reference PointNeXt-S with its CUDA point ops replaced by exact
+    torch re-implementations (FPS start pinned, reference ball-query
+    semantics) vs our converted flax model."""
+    import yaml
+
+    class EasyDict(dict):
+        def __init__(self, d=None, **kw):
+            super().__init__()
+            for k, v in dict(d or {}, **kw).items():
+                self[k] = EasyDict(v) if isinstance(v, dict) else v
+
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+        __setattr__ = dict.__setitem__
+
+    _stub("multimethod", multimethod=lambda f: f)
+    _stub("easydict", EasyDict=EasyDict)
+    _stub("termcolor", colored=lambda s, *a, **k: s)
+    _stub("shortuuid", uuid=lambda: "x")
+    _stub("pointnet2_batch_cuda")
+    sys.path.insert(0, os.path.join(REF, "models", "pointnext", "PointNeXt"))
+    try:
+        import logging
+
+        logging.disable(logging.CRITICAL)
+        from openpoints.models import build_model_from_cfg
+        from openpoints.models.backbone import pointnext as ref_pn
+        from openpoints.models.layers import group as ref_group
+
+        logging.disable(logging.NOTSET)
+    except Exception as e:
+        sys.path.pop(0)
+        pytest.skip(f"openpoints unimportable: {e}")
+    sys.path.pop(0)
+
+    # exact torch re-implementations of the CUDA ops
+    def torch_fps(xyz, npoint):
+        B, N, _ = xyz.shape
+        out = torch.zeros(B, npoint, dtype=torch.long)
+        dist = torch.full((B, N), 1e10)
+        far = torch.zeros(B, dtype=torch.long)  # pinned start
+        batch = torch.arange(B)
+        for i in range(npoint):
+            out[:, i] = far
+            c = xyz[batch, far].unsqueeze(1)
+            d = ((xyz - c) ** 2).sum(-1)
+            dist = torch.minimum(dist, d)
+            far = dist.argmax(-1)
+        return out.int()
+
+    def torch_ball_query(radius, nsample, support, query):
+        B, N, _ = support.shape
+        S = query.shape[1]
+        d = torch.cdist(query, support) ** 2
+        arange = torch.arange(N).view(1, 1, N).expand(B, S, N).clone()
+        arange[d > radius * radius] = N
+        idx = arange.sort(dim=-1).values[:, :, :nsample]
+        first = idx[:, :, :1].expand(-1, -1, nsample)
+        idx = torch.where(idx == N, first, idx)
+        return idx.clamp(max=N - 1).int()
+
+    def torch_grouping(features, idx):
+        # features [B, C, N], idx [B, S, K] -> [B, C, S, K]
+        B, C, N = features.shape
+        S, K = idx.shape[1], idx.shape[2]
+        flat = idx.long().reshape(B, -1)
+        out = torch.gather(
+            features, 2, flat.unsqueeze(1).expand(-1, C, -1)
+        )
+        return out.reshape(B, C, S, K)
+
+    ref_pn.furthest_point_sample = torch_fps
+    ref_group.ball_query = torch_ball_query
+    ref_group.grouping_operation = torch_grouping
+
+    raw = yaml.safe_load(
+        open(os.path.join(REF, "models", "pointnext", "pointnext-s.yaml"))
+    )
+    torch.manual_seed(0)
+    ref = build_model_from_cfg(EasyDict(raw["model"])).eval()
+
+    pc = torch.tensor(rng.rand(2, 256, 4).astype(np.float32))
+    with torch.no_grad():
+        want = ref(pc).numpy()
+
+    from ppt_tpu.nn import PointNext
+    from ppt_tpu.tools.ckpt_convert import convert_pointnext
+
+    sd = {"point_encoder." + k: v for k, v in ref.state_dict().items()}
+    tree = convert_pointnext(sd)
+    model = PointNext()
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(pc.numpy()))
+    merged = merge_pretrained(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        {
+            "params": tree["params"]["point_encoder"],
+            "batch_stats": tree["batch_stats"]["point_encoder"],
+        },
+    )
+    got = np.asarray(model.apply(merged, jnp.asarray(pc.numpy())))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
