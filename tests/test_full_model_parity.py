@@ -292,3 +292,38 @@ def test_pointnext_full_forward_parity(rng):
     )
     got = np.asarray(model.apply(merged, jnp.asarray(pc.numpy())))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference unavailable")
+def test_pointnet2_msg_full_forward_parity(rng):
+    """MSG variant: multi-radius ball-query grouping end to end."""
+    sys.path.insert(0, REF)
+    try:
+        from models.pointnet2.pointnet2 import Pointnet2_Msg
+    except Exception as e:
+        pytest.skip(f"reference PointNet2 unimportable: {e}")
+    finally:
+        sys.path.pop(0)
+
+    torch.manual_seed(0)
+    ref = Pointnet2_Msg().eval()
+    pc = torch.tensor(rng.rand(2, 600, 3).astype(np.float32))
+    with _PinnedFps(), torch.no_grad():
+        want = ref(pc).numpy()
+
+    from ppt_tpu.nn import PointNet2Msg
+    from ppt_tpu.tools.ckpt_convert import convert_pointnet2
+
+    sd = {"point_encoder." + k: v for k, v in ref.state_dict().items()}
+    tree = convert_pointnet2(sd, msg=True)
+    model = PointNet2Msg()
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(pc.numpy()))
+    merged = merge_pretrained(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        {
+            "params": tree["params"]["point_encoder"],
+            "batch_stats": tree["batch_stats"]["point_encoder"],
+        },
+    )
+    got = np.asarray(model.apply(merged, jnp.asarray(pc.numpy())))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
