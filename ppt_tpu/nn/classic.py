@@ -52,6 +52,7 @@ class DgcnnClassifier(nn.Module):
     k: int = 20
     widths: Tuple[int, ...] = (64, 64, 128, 256)
     emb_dim: int = 1024
+    trunk: bool = True  # False -> return the raw 2*emb_dim pooled features
     dtype: jnp.dtype = jnp.float32
 
     def _edge_conv(self, coords: jax.Array, feats: jax.Array) -> jax.Array:
@@ -82,6 +83,9 @@ class DgcnnClassifier(nn.Module):
         pooled = jnp.concatenate(
             [jnp.max(emb, axis=1), jnp.mean(emb, axis=1)], axis=-1
         )
+        if not self.trunk:
+            # matches openpoints DGCNN.forward_cls_feat output (2*emb_dim)
+            return pooled
         x = nn.Dense(512, dtype=self.dtype, name="fc1")(pooled)
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="fbn1")(x)
         x = nn.leaky_relu(x, 0.2)

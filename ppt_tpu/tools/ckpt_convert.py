@@ -332,6 +332,43 @@ def convert_pointnext(sd: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+def convert_dgcnn(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """openpoints DGCNN (``backbone/dgcnn.py``) -> ``point_encoder/*``.
+
+    The reference EdgeConv concatenates ``[center, neighbor - center]``
+    along channels before its 1x1 conv; our ``DgcnnClassifier`` uses
+    ``[neighbor - center, center]``, so the two halves of each edge
+    kernel's input rows are swapped during conversion.
+    """
+    sd = _strip_module(sd)
+    pe = "point_encoder."
+    p: Flat = {}
+    s: Flat = {}
+    if "pc_projection" in sd:
+        p[("pc_projection",)] = _t(sd["pc_projection"])
+
+    def edge(dst_name: str, bn_name: str, src: str):
+        w = _t(sd[src + ".0.weight"])  # [C_out, 2*C_in, 1, 1]
+        w = w.reshape(w.shape[0], w.shape[1]).T  # -> [2*C_in, C_out]
+        half = w.shape[0] // 2
+        p[("point_encoder", dst_name, "kernel")] = np.concatenate(
+            [w[half:], w[:half]], axis=0
+        )
+        _bn(p, s, ("point_encoder", bn_name), sd, src + ".1")
+
+    edge("edge0", "bn0", f"{pe}head.gconv.nn")
+    i = 0
+    while f"{pe}backbone.{i}.gconv.nn.0.weight" in sd:
+        edge(f"edge{i + 1}", f"bn{i + 1}", f"{pe}backbone.{i}.gconv.nn")
+        i += 1
+    _conv1x1(p, ("point_encoder", "emb"), sd[f"{pe}fusion_block.0.weight"])
+    _bn(p, s, ("point_encoder", "embn"), sd, f"{pe}fusion_block.1")
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
 CONVERTERS = {
     "slip": convert_slip_text,
     "pointbert": convert_pointbert,
@@ -339,6 +376,7 @@ CONVERTERS = {
     "pointnet2_msg": lambda sd: convert_pointnet2(sd, msg=True),
     "pointmlp": convert_pointmlp,
     "pointnext": convert_pointnext,
+    "dgcnn": convert_dgcnn,
 }
 
 
