@@ -11,6 +11,17 @@ The PCT attention normalizes attention weights column-wise then
 re-normalizes rows (the "offset attention" trick); sequence length is the
 256 sampled groups — one dense [B, 256, 256] attention map per layer,
 MXU-friendly at these sizes.
+
+Note on parity testing: the vendored reference PCT cannot be executed as
+an oracle — its ``Pct.forward`` unpacks two values from
+``SubsampleGroup`` (``backbone/pct.py:67``) while ``SubsampleGroup``
+returns a four-tuple when features are passed
+(``layers/group_embed.py:52``), and its ``Local_op`` applies ``Conv2d``
+to channels-last input without the original implementation's permute.
+This module therefore follows the paper / the original PCT_Pytorch
+semantics (tied q/k weights, offset attention with column softmax and
+L1 row re-normalization, FPS+kNN neighbor embedding) and is covered by
+shape/behavior tests rather than a torch forward-parity oracle.
 """
 
 from __future__ import annotations
