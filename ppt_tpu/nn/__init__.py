@@ -4,7 +4,7 @@ from ppt_tpu.nn.pointbert import PointBert, PointBertConfig, PointBertPartSeg
 from ppt_tpu.nn.pointnet2 import PointNet2Ssg, PointNet2Msg
 from ppt_tpu.nn.pointmlp import PointMLP
 from ppt_tpu.nn.pointnext import PointNext, PointNextConfig
-from ppt_tpu.nn.classic import PointNetClassic, DgcnnClassifier
+from ppt_tpu.nn.classic import PointNetClassic, PointNetEncoder, Tnet, DgcnnClassifier
 from ppt_tpu.nn.pct import Pct
 from ppt_tpu.nn.curvenet import CurveNet, CurveNetConfig
 
@@ -24,6 +24,8 @@ __all__ = [
     "PointNext",
     "PointNextConfig",
     "PointNetClassic",
+    "PointNetEncoder",
+    "Tnet",
     "DgcnnClassifier",
     "Pct",
     "CurveNet",

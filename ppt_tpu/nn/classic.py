@@ -45,6 +45,75 @@ class PointNetClassic(nn.Module):
         return x
 
 
+class Tnet(nn.Module):
+    """Spatial/feature transformer net (``STN3d``/``STNkd``,
+    openpoints ``backbone/pointnet.py:13-88``): shared MLP 64-128-1024,
+    max pool, FC 512-256-k*k, output biased to the identity."""
+
+    k: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # x: [B, N, k]
+        h = x.astype(self.dtype)
+        for i, ch in enumerate((64, 128, 1024)):
+            h = nn.Dense(ch, dtype=self.dtype, name=f"conv{i + 1}")(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, dtype=jnp.float32, name=f"bn{i + 1}"
+            )(h)
+            h = nn.relu(h)
+        h = jnp.max(h, axis=1)
+        for i, ch in enumerate((512, 256)):
+            h = nn.Dense(ch, dtype=self.dtype, name=f"fc{i + 1}")(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, dtype=jnp.float32, name=f"bn{i + 4}"
+            )(h)
+            h = nn.relu(h)
+        h = nn.Dense(self.k * self.k, dtype=self.dtype, name="fc3")(h)
+        eye = jnp.eye(self.k, dtype=h.dtype).reshape(1, -1)
+        return (h + eye).reshape(-1, self.k, self.k)
+
+
+class PointNetEncoder(nn.Module):
+    """The full classic PointNet encoder with T-Nets
+    (``PointNetEncoder.forward_cls_feat``, openpoints
+    ``backbone/pointnet.py:91-160``): input STN over the 3 coordinate
+    channels (extra channels pass through), two 64-d embedding layers,
+    feature STN (k=64), MLP 64-128-1024 with **no ReLU after the last
+    BN**, global max pool -> 1024-d."""
+
+    input_transform: bool = True
+    feature_transform: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # x: [B, N, D>=3] channels-last
+        x = x.astype(self.dtype)
+        if self.input_transform:
+            trans = Tnet(3, dtype=self.dtype, name="stn")(x, train)
+            coords = jnp.einsum("bnc,bcd->bnd", x[..., :3], trans)
+            x = jnp.concatenate([coords, x[..., 3:]], axis=-1)
+        for name, ch in (("conv0_1", 64), ("conv0_2", 64)):
+            x = nn.Dense(ch, dtype=self.dtype, name=name)(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, dtype=jnp.float32, name="bn" + name[4:]
+            )(x)
+            x = nn.relu(x)
+        if self.feature_transform:
+            trans_feat = Tnet(64, dtype=self.dtype, name="fstn")(x, train)
+            x = jnp.einsum("bnc,bcd->bnd", x, trans_feat)
+        for i, ch in enumerate((64, 128, 1024)):
+            x = nn.Dense(ch, dtype=self.dtype, name=f"conv{i + 1}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, dtype=jnp.float32, name=f"bn{i + 1}"
+            )(x)
+            if i < 2:  # reference: bn3(conv3(x)) feeds max-pool un-activated
+                x = nn.relu(x)
+        return jnp.max(x, axis=1)  # [B, 1024]
+
+
 class DgcnnClassifier(nn.Module):
     """DGCNN classification trunk: 4 EdgeConv stages over feature-space
     kNN graphs, multi-scale concat, global max+avg pooling, FC trunk."""

@@ -369,6 +369,42 @@ def convert_dgcnn(sd: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+def convert_pointnet(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """openpoints classic PointNet encoder (``backbone/pointnet.py``,
+    with STN3d/STNkd T-Nets) -> ``point_encoder/*``."""
+    sd = _strip_module(sd)
+    pe = "point_encoder."
+    p: Flat = {}
+    s: Flat = {}
+    if "pc_projection" in sd:
+        p[("pc_projection",)] = _t(sd["pc_projection"])
+
+    def tnet(dst_name: str, src: str):
+        dst = ("point_encoder", dst_name)
+        for i in (1, 2, 3):
+            _conv1x1(p, dst + (f"conv{i}",), sd[f"{src}.conv{i}.weight"],
+                     sd.get(f"{src}.conv{i}.bias"))
+        for i in (1, 2, 3):
+            _linear(p, dst + (f"fc{i}",), sd[f"{src}.fc{i}.weight"],
+                    sd.get(f"{src}.fc{i}.bias"))
+        for i in (1, 2, 3, 4, 5):
+            _bn(p, s, dst + (f"bn{i}",), sd, f"{src}.bn{i}")
+
+    if f"{pe}stn.conv1.weight" in sd:
+        tnet("stn", f"{pe}stn")
+    if f"{pe}fstn.conv1.weight" in sd:
+        tnet("fstn", f"{pe}fstn")
+    for name in ("conv0_1", "conv0_2", "conv1", "conv2", "conv3"):
+        _conv1x1(p, ("point_encoder", name), sd[f"{pe}{name}.weight"],
+                 sd.get(f"{pe}{name}.bias"))
+    for name in ("bn0_1", "bn0_2", "bn1", "bn2", "bn3"):
+        _bn(p, s, ("point_encoder", name), sd, f"{pe}{name}")
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
 CONVERTERS = {
     "slip": convert_slip_text,
     "pointbert": convert_pointbert,
@@ -377,6 +413,7 @@ CONVERTERS = {
     "pointmlp": convert_pointmlp,
     "pointnext": convert_pointnext,
     "dgcnn": convert_dgcnn,
+    "pointnet": convert_pointnet,
 }
 
 

@@ -396,3 +396,63 @@ def test_dgcnn_full_forward_parity(rng):
     )
     got = np.asarray(model.apply(merged, jnp.asarray(pc.numpy())))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference unavailable")
+def test_pointnet_encoder_full_forward_parity(rng):
+    """Classic PointNet with both T-Nets (pure torch) vs our
+    PointNetEncoder through forward_cls_feat."""
+    class EasyDict(dict):
+        def __init__(self, d=None, **kw):
+            super().__init__()
+            for k, v in dict(d or {}, **kw).items():
+                self[k] = EasyDict(v) if isinstance(v, dict) else v
+
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+        __setattr__ = dict.__setitem__
+
+    _stub("multimethod", multimethod=lambda f: f)
+    _stub("easydict", EasyDict=EasyDict)
+    _stub("termcolor", colored=lambda s, *a, **k: s)
+    _stub("shortuuid", uuid=lambda: "x")
+    _stub("pointnet2_batch_cuda")
+    sys.path.insert(0, os.path.join(REF, "models", "pointnext", "PointNeXt"))
+    try:
+        import logging
+
+        logging.disable(logging.CRITICAL)
+        from openpoints.models.backbone.pointnet import PointNetEncoder as RefPn
+
+        logging.disable(logging.NOTSET)
+    except Exception as e:
+        sys.path.pop(0)
+        pytest.skip(f"openpoints PointNet unimportable: {e}")
+    sys.path.pop(0)
+
+    torch.manual_seed(0)
+    ref = RefPn(in_channels=3).eval()
+    pc = torch.tensor(rng.rand(2, 256, 3).astype(np.float32))
+    with torch.no_grad():
+        want = ref.forward_cls_feat(pc).numpy()
+
+    from ppt_tpu.nn import PointNetEncoder
+    from ppt_tpu.tools.ckpt_convert import convert_pointnet
+
+    sd = {"point_encoder." + k: v for k, v in ref.state_dict().items()}
+    tree = convert_pointnet(sd)
+    model = PointNetEncoder()
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(pc.numpy()))
+    merged = merge_pretrained(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        {
+            "params": tree["params"]["point_encoder"],
+            "batch_stats": tree["batch_stats"]["point_encoder"],
+        },
+    )
+    got = np.asarray(model.apply(merged, jnp.asarray(pc.numpy())))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
