@@ -209,6 +209,12 @@ def ulip_pointnet(args) -> ModelSpec:
     return _make("ULIP_PointNet", PointNetClassic(), 256, args)
 
 
+def ulip_pointnet_stn(args) -> ModelSpec:
+    from ppt_tpu.nn import PointNetEncoder
+
+    return _make("ULIP_PointNet_STN", PointNetEncoder(), 1024, args)
+
+
 def ulip_dgcnn(args) -> ModelSpec:
     from ppt_tpu.nn import DgcnnClassifier
 
@@ -235,6 +241,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., ModelSpec]] = {
     "ULIP_PointBERT_partseg": ulip_pointbert_partseg,
     "ULIP_PN_NEXT": ulip_pn_next,
     "ULIP_PointNet": ulip_pointnet,
+    "ULIP_PointNet_STN": ulip_pointnet_stn,
     "ULIP_DGCNN": ulip_dgcnn,
     "ULIP_PCT": ulip_pct,
     "ULIP_CurveNet": ulip_curvenet,
