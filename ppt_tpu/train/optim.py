@@ -1,10 +1,14 @@
 """Optimizer & LR-schedule factories.
 
 Capability parity with the vendored openpoints factories (timm-style
-optimizer zoo, ``openpoints/optim/`` — adamw, lamb, lars, adabelief,
-adafactor, sgd, radam, ... — and scheduler zoo, ``openpoints/scheduler/``
-— cosine, multistep, step, poly, plateau-style). Here both map onto
-optax transforms behind string names, so configs port directly.
+optimizer zoo, ``openpoints/optim/optim_factory.py:216-280`` — adamw,
+lamb, lars, adabelief, adafactor, sgd/nesterov/momentum, radam, nadam,
+adamax, adadelta, adagrad, novograd, rmsprop, ... — and scheduler zoo,
+``openpoints/scheduler/`` — cosine, multistep, step, poly,
+plateau-style). Here both map onto optax transforms behind string
+names, so configs port directly. Reference names without an optax
+equivalent (sgdp/adamp, madgrad, rmsproptf, adahessian, trust-clip
+lamb/lars variants, apex fused) raise KeyError with the supported list.
 """
 
 from __future__ import annotations
@@ -74,7 +78,14 @@ def build_optimizer(
                            weight_decay=weight_decay)
     if name == "adam":
         return optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps)
-    if name == "sgd":
+    if name in ("sgd", "nesterov"):
+        # reference 'sgd' is SGD + Nesterov momentum for legacy reasons
+        # (openpoints optim_factory.py:216-219); plain momentum is 'momentum'
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(schedule, momentum=momentum, nesterov=True),
+        )
+    if name == "momentum":
         return optax.chain(
             optax.add_decayed_weights(weight_decay),
             optax.sgd(schedule, momentum=momentum),
@@ -102,4 +113,32 @@ def build_optimizer(
             optax.add_decayed_weights(weight_decay),
             optax.nadam(schedule, b1=betas[0], b2=betas[1], eps=eps),
         )
-    raise KeyError(f"unknown optimizer {name!r}")
+    if name == "adamax":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adamax(schedule, b1=betas[0], b2=betas[1], eps=eps),
+        )
+    if name == "adadelta":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adadelta(schedule, eps=eps),
+        )
+    if name == "adagrad":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adagrad(schedule, eps=max(eps, 1e-8)),
+        )
+    if name in ("novograd", "nvnovograd"):
+        return optax.novograd(schedule, b1=betas[0], b2=betas[1], eps=eps,
+                              weight_decay=weight_decay)
+    if name == "rmsprop":
+        # reference uses alpha=0.9 (torch RMSprop smoothing constant)
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.rmsprop(schedule, decay=0.9, eps=eps, momentum=momentum),
+        )
+    raise KeyError(
+        f"unknown optimizer {name!r}; supported: adamw adam sgd nesterov "
+        "momentum lamb lars adabelief adafactor radam nadam adamax "
+        "adadelta adagrad novograd rmsprop"
+    )

@@ -38,8 +38,9 @@ class TestCosineWarmup:
 
 class TestFactories:
     @pytest.mark.parametrize(
-        "name", ["adamw", "adam", "sgd", "lamb", "lars", "adabelief",
-                 "adafactor", "radam", "nadam"]
+        "name", ["adamw", "adam", "sgd", "nesterov", "momentum", "lamb",
+                 "lars", "adabelief", "adafactor", "radam", "nadam",
+                 "adamax", "adadelta", "adagrad", "novograd", "rmsprop"]
     )
     def test_optimizers_step(self, name):
         import optax
