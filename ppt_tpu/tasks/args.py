@@ -48,6 +48,7 @@ class TaskArgs:
     batch_size: int = 64
     data_ratio: float = 1.0
     optim: str = "adamw"
+    sched: str = "cosine"
     lr: float = 3e-3
     lr_start: float = 1e-6
     lr_end: float = 1e-5

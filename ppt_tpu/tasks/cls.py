@@ -92,7 +92,7 @@ def setup(args: TaskArgs):
     from ppt_tpu.train.optim import build_optimizer, build_schedule
 
     sched = build_schedule(
-        "cosine", args.lr, args.epochs, steps_per_epoch,
+        args.sched, args.lr, args.epochs, steps_per_epoch,
         final_lr=args.lr_end, warmup_epochs=args.warmup_epochs,
         warmup_start_lr=args.lr_start,
     )

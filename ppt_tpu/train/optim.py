@@ -55,8 +55,25 @@ def build_schedule(
         )
     elif name == "constant":
         sched = optax.constant_schedule(base_lr)
+    elif name in ("tanh", "tanhlr"):
+        # timm TanhLRScheduler (openpoints scheduler/tanh_lr.py:83-96):
+        # lr = lr_min + (lr_max-lr_min)/2 * (1 - tanh(lb*(1-tr) + ub*tr))
+        lb, ub = -7.0, 3.0
+        span = max(total - warm, 1)
+
+        def sched(step, _span=span):
+            import jax.numpy as jnp
+
+            tr = jnp.clip(step / _span, 0.0, 1.0)
+            return final_lr + 0.5 * (base_lr - final_lr) * (
+                1.0 - jnp.tanh(lb * (1.0 - tr) + ub * tr)
+            )
+
     else:
-        raise KeyError(f"unknown schedule {name!r}")
+        raise KeyError(
+            f"unknown schedule {name!r}; supported: cosine multistep step "
+            "poly constant tanh"
+        )
     if warm:
         warmup = optax.linear_schedule(warmup_start_lr, base_lr, warm)
         return optax.join_schedules([warmup, sched], [warm])

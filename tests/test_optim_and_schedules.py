@@ -57,7 +57,7 @@ class TestFactories:
         with pytest.raises(KeyError):
             build_optimizer("nope", 1e-3)
 
-    @pytest.mark.parametrize("name", ["cosine", "multistep", "step", "poly", "constant"])
+    @pytest.mark.parametrize("name", ["cosine", "multistep", "step", "poly", "constant", "tanh"])
     def test_schedules_finite(self, name):
         sched = build_schedule(name, 1e-3, 10, 5, warmup_epochs=1)
         vals = [float(sched(i)) for i in (0, 10, 49)]
@@ -66,3 +66,19 @@ class TestFactories:
     def test_unknown_schedule(self):
         with pytest.raises(KeyError):
             build_schedule("nope", 1e-3, 10, 5)
+
+
+def test_tanh_schedule_matches_timm_formula():
+    """lr = lr_min + (lr_max-lr_min)/2 * (1 - tanh(-7*(1-tr) + 3*tr))
+    (openpoints scheduler/tanh_lr.py:83-96)."""
+    import math
+
+    from ppt_tpu.train.optim import build_schedule
+
+    sched = build_schedule("tanh", 0.1, 10, 20, final_lr=0.001)
+    for step in (0, 50, 100, 199):
+        tr = min(step / 200, 1.0)
+        want = 0.001 + 0.5 * (0.1 - 0.001) * (
+            1 - math.tanh(-7.0 * (1 - tr) + 3.0 * tr)
+        )
+        assert abs(float(sched(step)) - want) < 1e-7, step
