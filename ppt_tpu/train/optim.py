@@ -55,6 +55,24 @@ def build_schedule(
         )
     elif name == "constant":
         sched = optax.constant_schedule(base_lr)
+    elif name in ("cosine_restarts", "sgdr"):
+        # CosineAnnealingWarmupRestarts alternative (reference
+        # utils/utils.py:268-276): cycles of warmup+cosine, one cycle
+        # per `milestones[0]` epochs (default one restart per 120 ep).
+        cycle = max(milestones[0], 1) * steps_per_epoch
+        n_cycles = max(total // cycle, 1)
+        return optax.sgdr_schedule(
+            [
+                dict(
+                    init_value=warmup_start_lr,
+                    peak_value=base_lr,
+                    warmup_steps=max(warm, 1),
+                    decay_steps=cycle,
+                    end_value=final_lr,
+                )
+            ]
+            * n_cycles
+        )
     elif name in ("tanh", "tanhlr"):
         # timm TanhLRScheduler (openpoints scheduler/tanh_lr.py:83-96):
         # lr = lr_min + (lr_max-lr_min)/2 * (1 - tanh(lb*(1-tr) + ub*tr))
@@ -72,7 +90,7 @@ def build_schedule(
     else:
         raise KeyError(
             f"unknown schedule {name!r}; supported: cosine multistep step "
-            "poly constant tanh"
+            "poly constant tanh cosine_restarts"
         )
     if warm:
         warmup = optax.linear_schedule(warmup_start_lr, base_lr, warm)

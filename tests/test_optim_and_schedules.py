@@ -57,7 +57,7 @@ class TestFactories:
         with pytest.raises(KeyError):
             build_optimizer("nope", 1e-3)
 
-    @pytest.mark.parametrize("name", ["cosine", "multistep", "step", "poly", "constant", "tanh"])
+    @pytest.mark.parametrize("name", ["cosine", "multistep", "step", "poly", "constant", "tanh", "cosine_restarts"])
     def test_schedules_finite(self, name):
         sched = build_schedule(name, 1e-3, 10, 5, warmup_epochs=1)
         vals = [float(sched(i)) for i in (0, 10, 49)]
@@ -82,3 +82,19 @@ def test_tanh_schedule_matches_timm_formula():
             1 - math.tanh(-7.0 * (1 - tr) + 3.0 * tr)
         )
         assert abs(float(sched(step)) - want) < 1e-7, step
+
+
+def test_cosine_restarts_cycles():
+    from ppt_tpu.train.optim import build_schedule
+
+    # 2 cycles of 5 epochs x 10 steps, warmup 1 epoch
+    sched = build_schedule(
+        "cosine_restarts", 0.1, 10, 10, warmup_epochs=1,
+        warmup_start_lr=0.0, final_lr=0.001, milestones=(5,),
+    )
+    peak1 = float(sched(10))   # after warmup, at peak
+    trough = float(sched(49))  # end of cycle 1
+    peak2 = float(sched(60))   # warmed up again inside cycle 2
+    assert peak1 > 0.09
+    assert trough < 0.01
+    assert peak2 > 0.09  # restarted
