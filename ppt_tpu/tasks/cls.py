@@ -122,6 +122,7 @@ def setup(args: TaskArgs):
         "state": state,
         "mesh": mesh,
         "steps_per_epoch": steps_per_epoch,
+        "sched": sched,
     }
 
 
@@ -250,6 +251,7 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
             "epoch": epoch,
             "loss": loss_meter.avg,
             "train_acc": acc_meter.avg,
+            "lr": float(ctx["sched"]((epoch + 1) * ctx["steps_per_epoch"] - 1)),
             "epoch_time": time.time() - t0,
         }
         if (epoch % args.eval_freq) == 0 or epoch == args.epochs - 1:
