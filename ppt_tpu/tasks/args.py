@@ -49,6 +49,8 @@ class TaskArgs:
     data_ratio: float = 1.0
     optim: str = "adamw"
     sched: str = "cosine"
+    plateau_patience: int = 10  # epochs w/o improvement (sched=plateau)
+    plateau_factor: float = 0.1  # LR decay on plateau (timm decay_rate)
     lr: float = 3e-3
     lr_start: float = 1e-6
     lr_end: float = 1e-5

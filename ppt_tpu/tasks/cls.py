@@ -97,7 +97,12 @@ def setup(args: TaskArgs):
         warmup_start_lr=args.lr_start,
     )
     optimizer = build_optimizer(
-        args.optim, sched, weight_decay=args.wd, betas=args.betas, eps=args.eps
+        args.optim, sched, weight_decay=args.wd, betas=args.betas, eps=args.eps,
+        plateau_patience_epochs=(
+            args.plateau_patience if args.sched == "plateau" else 0
+        ),
+        steps_per_epoch=steps_per_epoch,
+        plateau_factor=args.plateau_factor,
     )
     state = create_train_state(
         variables, mask, optimizer, jax.random.PRNGKey(args.seed + 1)

@@ -3,18 +3,30 @@
 Capability parity with the vendored openpoints factories (timm-style
 optimizer zoo, ``openpoints/optim/optim_factory.py:216-280`` — adamw,
 lamb, lars, adabelief, adafactor, sgd/nesterov/momentum, radam, nadam,
-adamax, adadelta, adagrad, novograd, rmsprop, ... — and scheduler zoo,
-``openpoints/scheduler/`` — cosine, multistep, step, poly,
-plateau-style). Here both map onto optax transforms behind string
-names, so configs port directly. Reference names without an optax
-equivalent (sgdp/adamp, madgrad, rmsproptf, adahessian, trust-clip
-lamb/lars variants, apex fused) raise KeyError with the supported list.
+adamax, adadelta, adagrad, novograd, rmsprop/rmsprop_tf, sgdp, adamp,
+madgrad — and scheduler zoo, ``openpoints/scheduler/`` — cosine,
+multistep, step, poly, tanh, plateau). Here both map onto optax
+transforms behind string names, so configs port directly. Reference
+names without a JAX-implementable equivalent here (adahessian — needs
+Hutchinson Hessian traces threaded through the train step — and the
+apex fused variants) raise KeyError with the supported list.
+
+The plateau scheduler (timm ``PlateauLRScheduler``,
+``openpoints/scheduler/plateau_lr.py``) is metric-driven, so it cannot
+be a pure ``step -> lr`` function: ``build_schedule('plateau', ...)``
+returns the constant base LR and the *optimizer* chain gains an
+``optax.contrib.reduce_on_plateau`` stage (see :func:`build_optimizer`
+``plateau_patience_epochs``), fed by the per-step loss that the train
+step passes as ``value=`` (averaged over ``steps_per_epoch`` updates to
+approximate the reference's one-plateau-check-per-epoch cadence).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Any, Callable, NamedTuple, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import optax
 
 from ppt_tpu.train.schedules import cosine_with_warmup
@@ -87,15 +99,185 @@ def build_schedule(
                 1.0 - jnp.tanh(lb * (1.0 - tr) + ub * tr)
             )
 
+    elif name == "plateau":
+        # metric-driven: the LR curve lives in the optimizer chain (see
+        # module docstring); this schedule is the constant base rate.
+        sched = optax.constant_schedule(base_lr)
     else:
         raise KeyError(
             f"unknown schedule {name!r}; supported: cosine multistep step "
-            "poly constant tanh cosine_restarts"
+            "poly constant tanh cosine_restarts plateau"
         )
     if warm:
         warmup = optax.linear_schedule(warmup_start_lr, base_lr, warm)
         return optax.join_schedules([warmup, sched], [warm])
     return sched
+
+
+# ---------------------------------------------------------------------------
+# Optimizers without an off-the-shelf optax equivalent
+# ---------------------------------------------------------------------------
+
+
+class MadgradState(NamedTuple):
+    count: jax.Array
+    grad_sum: optax.Updates  # s_k: weighted gradient sum
+    grad_sum_sq: optax.Updates  # nu_k: weighted squared-gradient sum
+    x0: optax.Params  # initial iterate
+
+
+def madgrad(
+    learning_rate,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+    eps: float = 1e-6,
+) -> optax.GradientTransformation:
+    """MADGRAD (Defazio & Jelassi 2021), matching the reference's
+    ``openpoints/optim/madgrad.py`` (timm port of facebookresearch/madgrad):
+
+        lamb_k  = lr_k * sqrt(k+1)
+        s_{k+1} = s_k + lamb_k * g
+        nu_{k+1}= nu_k + lamb_k * g^2
+        z_{k+1} = x_0 - s_{k+1} / (cbrt(nu_{k+1}) + eps)
+        x_{k+1} = (1-c) x_k + c z_{k+1},  c = 1 - momentum
+
+    Weight decay is added to the gradient (the reference's default,
+    non-decoupled path).
+    """
+
+    sched = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return MadgradState(
+            count=jnp.zeros((), jnp.int32),
+            grad_sum=zeros,
+            grad_sum_sq=jax.tree.map(jnp.zeros_like, params),
+            x0=jax.tree.map(jnp.asarray, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("madgrad requires params")
+        if weight_decay:
+            updates = jax.tree.map(
+                lambda g, p: g + weight_decay * p, updates, params
+            )
+        lr = sched(state.count)
+        lamb = lr * jnp.sqrt(state.count.astype(jnp.float32) + 1.0)
+        new_s = jax.tree.map(lambda s, g: s + lamb * g, state.grad_sum, updates)
+        new_v = jax.tree.map(
+            lambda v, g: v + lamb * g * g, state.grad_sum_sq, updates
+        )
+        c = 1.0 - momentum
+
+        def step(p, x0, s, v):
+            z = x0 - s / (jnp.cbrt(v) + eps)
+            return c * (z - p)
+
+        deltas = jax.tree.map(step, params, state.x0, new_s, new_v)
+        return deltas, MadgradState(state.count + 1, new_s, new_v, state.x0)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _projection_channelwise(p, update, delta: float, eps: float):
+    """AdamP/SGDP projection (Heo et al. 2021, clovaai/AdamP): if a
+    parameter tensor is scale-invariant — channel-wise |cos(p, grad)|
+    below delta/sqrt(dim) — remove the radial component of the update.
+    Returns (projected_update, wd_scale in {1.0, wd_ratio-slot}).
+    Matches ``openpoints/optim/{adamp,sgdp}.py::projection``."""
+    if p.ndim < 2:
+        return update, jnp.asarray(1.0, p.dtype)
+    # channel view: leading dim = channels, rest flattened
+    pv = p.reshape(p.shape[0], -1)
+    uv = update.reshape(p.shape[0], -1)
+
+    def unit(x):
+        return x / (jnp.linalg.norm(x, axis=1, keepdims=True) + eps)
+
+    cos = jnp.abs(jnp.sum(unit(pv) * unit(uv), axis=1))  # [C]
+    dim = pv.shape[1]
+    scale_invariant = jnp.max(cos) < delta / jnp.sqrt(jnp.asarray(dim, p.dtype))
+    pn = unit(pv)
+    projected = uv - pn * jnp.sum(pn * uv, axis=1, keepdims=True)
+    out = jnp.where(scale_invariant, projected, uv).reshape(p.shape)
+    wd_scale = jnp.where(scale_invariant, jnp.asarray(0.0), jnp.asarray(1.0))
+    return out, wd_scale
+
+
+class _ProjState(NamedTuple):
+    inner: Any
+
+
+def _projected(
+    inner: optax.GradientTransformation,
+    weight_decay: float,
+    wd_ratio: float,
+    delta: float = 0.1,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """Wrap a momentum-style transform with the AdamP/SGDP projection +
+    conditional (wd_ratio-scaled) weight decay applied to the *update*."""
+
+    def init_fn(params):
+        return _ProjState(inner=inner.init(params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("projected optimizers require params")
+        steps, new_inner = inner.update(updates, state.inner, params)
+
+        def proj(p, u):
+            pu, wd_flag = _projection_channelwise(p, u, delta, eps)
+            # wd on scale-invariant tensors is scaled by wd_ratio
+            ratio = jnp.where(wd_flag > 0.5, 1.0, wd_ratio)
+            return pu + weight_decay * ratio * p
+
+        new_updates = (
+            jax.tree.map(proj, params, steps)
+            if weight_decay
+            else jax.tree.map(
+                lambda p, u: _projection_channelwise(p, u, delta, eps)[0],
+                params,
+                steps,
+            )
+        )
+        return new_updates, _ProjState(inner=new_inner)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def sgdp(
+    learning_rate,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+    wd_ratio: float = 0.1,
+    nesterov: bool = False,
+) -> optax.GradientTransformation:
+    """SGDP (``openpoints/optim/sgdp.py``): SGD momentum with the radial
+    component projected out on scale-invariant tensors."""
+    inner = optax.trace(decay=momentum, nesterov=nesterov)
+    return optax.chain(
+        _projected(inner, weight_decay, wd_ratio),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+def adamp(
+    learning_rate,
+    betas: Tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    wd_ratio: float = 0.1,
+) -> optax.GradientTransformation:
+    """AdamP (``openpoints/optim/adamp.py``): Adam step direction with
+    the radial component projected out on scale-invariant tensors."""
+    inner = optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)
+    return optax.chain(
+        _projected(inner, weight_decay, wd_ratio),
+        optax.scale_by_learning_rate(learning_rate),
+    )
 
 
 def build_optimizer(
@@ -106,6 +288,40 @@ def build_optimizer(
     betas: Tuple[float, float] = (0.9, 0.98),
     eps: float = 1e-8,
     momentum: float = 0.9,
+    plateau_patience_epochs: int = 0,
+    steps_per_epoch: int = 1,
+    plateau_factor: float = 0.1,
+) -> optax.GradientTransformation:
+    """Build an optimizer by reference name. When
+    ``plateau_patience_epochs > 0`` the chain ends with
+    ``optax.contrib.reduce_on_plateau`` scaling updates by
+    ``plateau_factor`` after that many epochs without loss improvement
+    (loss averaged over ``steps_per_epoch`` updates; the train step
+    feeds it via ``value=``)."""
+    base = _build_base_optimizer(
+        name, schedule, weight_decay=weight_decay, betas=betas, eps=eps,
+        momentum=momentum,
+    )
+    if plateau_patience_epochs > 0:
+        return optax.chain(
+            base,
+            optax.contrib.reduce_on_plateau(
+                factor=plateau_factor,
+                patience=plateau_patience_epochs,
+                accumulation_size=max(steps_per_epoch, 1),
+            ),
+        )
+    return base
+
+
+def _build_base_optimizer(
+    name: str,
+    schedule,
+    *,
+    weight_decay: float,
+    betas: Tuple[float, float],
+    eps: float,
+    momentum: float,
 ) -> optax.GradientTransformation:
     name = name.lower()
     if name == "adamw":
@@ -172,8 +388,27 @@ def build_optimizer(
             optax.add_decayed_weights(weight_decay),
             optax.rmsprop(schedule, decay=0.9, eps=eps, momentum=momentum),
         )
+    if name in ("rmsproptf", "rmsprop_tf"):
+        # timm RMSpropTF (openpoints/optim/rmsprop_tf.py): eps inside the
+        # sqrt, accumulator initialized to 1
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.rmsprop(
+                schedule, decay=0.9, eps=eps, momentum=momentum,
+                initial_scale=1.0, eps_in_sqrt=True,
+            ),
+        )
+    if name == "madgrad":
+        return madgrad(schedule, momentum=momentum, weight_decay=weight_decay)
+    if name == "sgdp":
+        return sgdp(
+            schedule, momentum=momentum, weight_decay=weight_decay,
+            nesterov=True,
+        )
+    if name == "adamp":
+        return adamp(schedule, betas=betas, eps=eps, weight_decay=weight_decay)
     raise KeyError(
         f"unknown optimizer {name!r}; supported: adamw adam sgd nesterov "
         "momentum lamb lars adabelief adafactor radam nadam adamax "
-        "adadelta adagrad novograd rmsprop"
+        "adadelta adagrad novograd rmsprop rmsprop_tf madgrad sgdp adamp"
     )

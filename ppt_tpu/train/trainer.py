@@ -116,6 +116,11 @@ def _make_train_step_fn(
     """Unjitted single-step body shared by the jitted single- and
     multi-step trainers."""
 
+    # extra-args support lets metric-driven stages (reduce_on_plateau)
+    # receive the loss; plain transforms ignore the kwarg. State layout
+    # is unchanged, so create_train_state's init stays compatible.
+    optimizer = optax.with_extra_args_support(optimizer)
+
     def train_step(state: TrainState, batch, prompts):
         rng, step_rng = jax.random.split(state.rng)
         dropout_rng, droppath_rng = jax.random.split(step_rng)
@@ -150,7 +155,7 @@ def _make_train_step_fn(
             loss_fn, has_aux=True
         )(state.trainable)
         updates, new_opt = optimizer.update(
-            grads, state.opt_state, state.trainable
+            grads, state.opt_state, state.trainable, value=loss
         )
         new_trainable = optax.apply_updates(state.trainable, updates)
         new_trainable = _clamp_logit_scale(new_trainable)

@@ -98,3 +98,89 @@ def test_cosine_restarts_cycles():
     assert peak1 > 0.09
     assert trough < 0.01
     assert peak2 > 0.09  # restarted
+
+
+class TestNewOptimizers:
+    @pytest.mark.parametrize("name", ["rmsprop_tf", "madgrad", "sgdp", "adamp"])
+    def test_step_changes_params(self, name):
+        import optax
+
+        opt = build_optimizer(name, 1e-3)
+        params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+        state = opt.init(params)
+        grads = {"w": jnp.ones((4, 4)) * 0.1, "b": jnp.ones((4,)) * 0.1}
+        updates, state = opt.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        assert float(jnp.abs(new["w"] - params["w"]).sum()) > 0
+        # second step with the evolved state must also be finite
+        updates, state = opt.update(grads, state, new)
+        new2 = optax.apply_updates(new, updates)
+        assert all(
+            bool(jnp.all(jnp.isfinite(v))) for v in new2.values()
+        )
+
+    def test_madgrad_matches_reference_recurrence(self):
+        """One transcribed step of the MADGRAD recurrence
+        (openpoints/optim/madgrad.py): z = x0 - s/(cbrt(nu)+eps),
+        x+ = (1-c) x + c z."""
+        import optax
+        from ppt_tpu.train.optim import madgrad
+
+        lr, mom, eps = 0.01, 0.9, 1e-6
+        opt = madgrad(lr, momentum=mom, eps=eps)
+        p0 = jnp.asarray([1.0, -2.0, 0.5])
+        g = jnp.asarray([0.1, 0.2, -0.3])
+        state = opt.init({"p": p0})
+        updates, state = opt.update({"p": g}, state, {"p": p0})
+        p1 = optax.apply_updates({"p": p0}, updates)["p"]
+        lamb = lr * np.sqrt(1.0)
+        s = lamb * np.asarray(g)
+        nu = lamb * np.asarray(g) ** 2
+        z = np.asarray(p0) - s / (np.cbrt(nu) + eps)
+        want = (1 - (1 - mom)) * np.asarray(p0) + (1 - mom) * z
+        np.testing.assert_allclose(np.asarray(p1), want, rtol=1e-5)
+
+    def test_adamp_projection_on_scale_invariant_tensor(self):
+        """For a gradient orthogonal to the parameter (channel-wise),
+        AdamP's update must stay orthogonal to the parameter direction
+        (the radial component is projected out)."""
+        from ppt_tpu.train.optim import adamp
+
+        p = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])  # 1 channel, dim 4
+        g = jnp.asarray([[0.0, 1.0, 0.0, 0.0]])  # orthogonal to p
+        opt = adamp(0.1)
+        state = opt.init({"w": p})
+        updates, _ = opt.update({"w": g}, state, {"w": p})
+        u = np.asarray(updates["w"])
+        # radial component of the update along p-hat is ~0
+        assert abs(float(u[0, 0])) < 1e-6
+        assert abs(float(u[0, 1])) > 1e-3
+
+
+def test_plateau_reduces_lr_on_stagnant_loss():
+    """reduce_on_plateau stage: feed a constant loss; after patience
+    epochs the update scale drops by the factor."""
+    import optax
+
+    opt = build_optimizer(
+        "adamw", 1e-2, plateau_patience_epochs=2, steps_per_epoch=1,
+        plateau_factor=0.1,
+    )
+    opt = optax.with_extra_args_support(opt)
+    params = {"w": jnp.ones((2, 2))}
+    state = opt.init(params)
+    grads = {"w": jnp.full((2, 2), 0.5)}
+    first = None
+    for i in range(8):
+        updates, state = opt.update(
+            grads, state, params, value=jnp.asarray(1.0)
+        )
+        mag = float(jnp.abs(updates["w"]).mean())
+        if first is None:
+            first = mag
+    assert mag < first * 0.5, (first, mag)
+
+
+def test_plateau_schedule_name_accepted():
+    sched = build_schedule("plateau", 1e-3, 10, 5)
+    assert abs(float(sched(0)) - 1e-3) < 1e-9
