@@ -193,15 +193,27 @@ class DiscreteVAE(nn.Module):
         }
 
 
-def dvae_loss(ret, num_tokens: int) -> Tuple[jax.Array, jax.Array]:
+def dvae_loss(
+    ret, num_tokens: int, recon: str = "chamfer"
+) -> Tuple[jax.Array, jax.Array]:
     """(reconstruction, KL) losses (``DiscreteVAE.get_loss``,
-    dvae.py:301-330): per-group Chamfer-L1 coarse+fine; KL of mean token
-    distribution from uniform."""
+    dvae.py:301-330): per-group reconstruction coarse+fine; KL of mean
+    token distribution from uniform. ``recon`` selects the
+    reconstruction metric: 'chamfer' (reference default, Chamfer-L1) or
+    'emd' (the reference's approxmatch EMD, ``emd_kernel.cu`` — the
+    dvae config's other loss option)."""
     B, G = ret["coarse"].shape[:2]
     coarse = ret["coarse"].reshape(B * G, -1, 3)
     fine = ret["fine"].reshape(B * G, -1, 3)
     gt = ret["neighborhood"].reshape(B * G, -1, 3)
-    loss_recon = chamfer_l1(coarse, gt) + chamfer_l1(fine, gt)
+    if recon == "emd":
+        from ppt_tpu.ops.losses3d import earth_mover_distance
+
+        loss_recon = earth_mover_distance(coarse, gt) + earth_mover_distance(
+            fine, gt
+        )
+    else:
+        loss_recon = chamfer_l1(coarse, gt) + chamfer_l1(fine, gt)
 
     softmax = jax.nn.softmax(ret["logits"], axis=-1)
     mean_softmax = jnp.mean(softmax, axis=1)  # [B, num_tokens]

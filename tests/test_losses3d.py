@@ -117,3 +117,114 @@ def chamfer_bwd_probe(ch, a, b):
     from ppt_tpu.ops.losses3d import chamfer_l2
 
     return chamfer_l2(a, b)
+
+
+class TestApproxMatchEmd:
+    """Reference-contract EMD (Fan approxmatch, emd_kernel.cu:29-161)."""
+
+    @staticmethod
+    def _approxmatch_transcription(xyz1, xyz2):
+        """Literal serial numpy port of the CUDA approxmatch loop
+        (emd_kernel.cu:29-161) — the parity oracle."""
+        n, m = len(xyz1), len(xyz2)
+        if n >= m:
+            multi_l, multi_r = 1.0, float(n // m)
+        else:
+            multi_l, multi_r = float(m // n), 1.0
+        match = np.zeros((n, m), np.float64)
+        remain_l = np.full(n, multi_l)
+        remain_r = np.full(m, multi_r)
+        d2 = ((xyz1[:, None, :] - xyz2[None, :, :]) ** 2).sum(-1)
+        for j in range(7, -3, -1):
+            level = 0.0 if j == -2 else -(4.0**j)
+            w = np.exp(level * d2)
+            suml = 1e-9 + w @ remain_r
+            ratio_l = remain_l / suml
+            sumr = (w * ratio_l[:, None]).sum(0) * remain_r
+            consumption = np.minimum(remain_r / (sumr + 1e-9), 1.0)
+            ratio_r = consumption * remain_r
+            remain_r = np.maximum(0.0, remain_r - sumr)
+            flow = w * ratio_l[:, None] * ratio_r[None, :]
+            match += flow
+            remain_l = np.maximum(0.0, remain_l - flow.sum(1))
+        return match, d2
+
+    def test_matches_cuda_transcription_and_bounds_exact(self, rng):
+        from scipy.optimize import linear_sum_assignment
+
+        from ppt_tpu.ops.losses3d import emd_matchcost
+
+        a = rng.randn(3, 16, 3).astype(np.float32)
+        b = rng.randn(3, 16, 3).astype(np.float32)
+        got = np.asarray(emd_matchcost(jnp.asarray(a), jnp.asarray(b)))
+        for i in range(3):
+            match, d2 = self._approxmatch_transcription(
+                a[i].astype(np.float64), b[i].astype(np.float64)
+            )
+            ref = (d2 * match).sum()
+            np.testing.assert_allclose(got[i], ref, rtol=2e-5)
+            # sanity: upper-bounds the exact assignment, same order
+            r, c = linear_sum_assignment(d2)
+            exact = d2[r, c].sum()
+            assert exact - 1e-3 <= got[i] <= exact * 2.0, (got[i], exact)
+
+    def test_reference_two_point_case(self):
+        """The reference's own ground truth (emd/test_emd_loss.py): two
+        crossed points per cloud; the optimal match is the swap."""
+        from ppt_tpu.ops.losses3d import emd_matchcost
+
+        p1 = jnp.asarray([[[1.7, -0.1, 0.1], [0.1, 1.2, 0.3]]], jnp.float32)
+        p2 = jnp.asarray([[[0.3, 1.8, 0.2], [1.2, -0.2, 0.3]]], jnp.float32)
+        want = float(
+            ((p1[0, 0] - p2[0, 1]) ** 2).sum() + ((p1[0, 1] - p2[0, 0]) ** 2).sum()
+        )
+        got = float(emd_matchcost(p1, p2)[0])
+        np.testing.assert_allclose(got, want, rtol=1e-3)
+
+    def test_match_marginals(self, rng):
+        from ppt_tpu.ops.losses3d import approx_match
+
+        a = jnp.asarray(rng.randn(2, 32, 3).astype(np.float32))
+        b = jnp.asarray(rng.randn(2, 32, 3).astype(np.float32))
+        match = np.asarray(approx_match(a, b))
+        # equal sizes: every left point ships ~1 unit of mass
+        np.testing.assert_allclose(match.sum(-1), 1.0, atol=2e-2)
+        np.testing.assert_allclose(match.sum(1), 1.0, atol=2e-2)
+
+    def test_gradients_are_reference_formula(self, rng):
+        """grad wrt xyz1 must equal 2*sum_l match*(x1-x2) with the match
+        held constant (matchcostgrad1, emd_kernel.cu:330-358)."""
+        from ppt_tpu.ops.losses3d import approx_match, emd_matchcost
+
+        a = jnp.asarray(rng.randn(1, 8, 3).astype(np.float32))
+        b = jnp.asarray(rng.randn(1, 8, 3).astype(np.float32))
+        g = np.asarray(jax.grad(lambda x: emd_matchcost(x, b).sum())(a))
+        match = np.asarray(approx_match(a, b))  # [1, N, M]
+        diff = np.asarray(a)[:, :, None, :] - np.asarray(b)[:, None, :, :]
+        want = 2.0 * (match[..., None] * diff).sum(axis=2)
+        np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-5)
+
+    def test_unequal_sizes_integer_multiples(self, rng):
+        from ppt_tpu.ops.losses3d import approx_match
+
+        a = jnp.asarray(rng.randn(1, 32, 3).astype(np.float32))
+        b = jnp.asarray(rng.randn(1, 16, 3).astype(np.float32))
+        match = np.asarray(approx_match(a, b))
+        # multiR = 2: right points each absorb ~2 units
+        np.testing.assert_allclose(match.sum(1), 2.0, atol=6e-2)
+
+    def test_dvae_loss_emd_switch(self, rng):
+        from ppt_tpu.nn.dvae import dvae_loss
+
+        B, G, M = 2, 4, 8
+        ret = {
+            "coarse": jnp.asarray(rng.randn(B, G, M, 3).astype(np.float32)),
+            "fine": jnp.asarray(rng.randn(B, G, M, 3).astype(np.float32)),
+            "neighborhood": jnp.asarray(rng.randn(B, G, M, 3).astype(np.float32)),
+            "logits": jnp.asarray(rng.randn(B, G, 16).astype(np.float32)),
+        }
+        r_ch, kl = dvae_loss(ret, 16, recon="chamfer")
+        r_emd, kl2 = dvae_loss(ret, 16, recon="emd")
+        assert np.isfinite(float(r_emd)) and float(r_emd) > 0
+        assert abs(float(kl) - float(kl2)) < 1e-9
+        assert abs(float(r_ch) - float(r_emd)) > 1e-6  # different metrics
