@@ -7,6 +7,16 @@ from ppt_tpu.nn.pointnext import PointNext, PointNextConfig
 from ppt_tpu.nn.classic import PointNetClassic, PointNetEncoder, Tnet, DgcnnClassifier
 from ppt_tpu.nn.pct import Pct
 from ppt_tpu.nn.curvenet import CurveNet, CurveNetConfig
+from ppt_tpu.nn.pointtransformer import (
+    PointTransformerConfig,
+    PointTransformerSeg,
+)
+from ppt_tpu.nn.randlanet import RandLANet, RandLANetConfig
+from ppt_tpu.nn.gcn import BallDgcnn, DeepGcn, DeepGcnConfig, GroupPointNet
+from ppt_tpu.nn.graphvit import GraphVit3d, GraphVit3dConfig, PointPatchEmbed
+from ppt_tpu.nn.resnet import BasicBlock, Bottleneck, ResNetStages
+from ppt_tpu.nn.simpleview import SimpleView, SimpleViewConfig, points_to_depth_views
+from ppt_tpu.nn.baafnet import BaafNet, BaafNetConfig
 
 __all__ = [
     "LayerNormF32",
@@ -30,4 +40,23 @@ __all__ = [
     "Pct",
     "CurveNet",
     "CurveNetConfig",
+    "PointTransformerConfig",
+    "PointTransformerSeg",
+    "RandLANet",
+    "RandLANetConfig",
+    "BallDgcnn",
+    "DeepGcn",
+    "DeepGcnConfig",
+    "GroupPointNet",
+    "GraphVit3d",
+    "GraphVit3dConfig",
+    "PointPatchEmbed",
+    "BasicBlock",
+    "Bottleneck",
+    "ResNetStages",
+    "SimpleView",
+    "SimpleViewConfig",
+    "points_to_depth_views",
+    "BaafNet",
+    "BaafNetConfig",
 ]

@@ -1,0 +1,390 @@
+"""Point Transformer (Zhao et al.) segmentation backbone, TPU-native.
+
+Reference: ``openpoints/models/backbone/pointtransformer.py:1-293`` (the
+PTSeg U-Net over the ``pointops`` packed/offset point representation).
+This port keeps the reference's packed ``(p [n,3], x [n,c], offsets [B])``
+data model — it is the natural consumer of ``ppt_tpu.ops.ragged`` — but
+every neighborhood interaction is a statically-shaped masked dense op so
+the whole network jits into one XLA program:
+
+  - ``pointops.knnquery/queryandgroup``  -> ``ragged.knn_query_packed`` +
+    take-gather (cross-cloud pairs masked to +inf distance);
+  - ``pointops.furthestsampling``        -> ``ragged.farthest_point_sample_packed``
+    (static per-cloud sample count: TransitionDown's ``count // stride``
+    is resolved statically from equal-sized clouds, the training layout);
+  - ``pointops.interpolation``           -> ``ragged.interpolation_packed``
+    (sqrt-distance weights, the pointops contract);
+  - per-cloud avg pooling in the decoder head (a Python loop over clouds
+    in the reference, ``pointtransformer.py:128-137``) -> one
+    ``segment_sum``.
+
+Public entry ``PointTransformerSeg`` takes the framework's channels-last
+batched layout ``[B, N, C]`` and packs internally; N must be divisible by
+``prod(strides) = 256``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ppt_tpu.ops.ragged import (
+    farthest_point_sample_packed,
+    interpolation_packed,
+    knn_query_packed,
+    segment_ids_from_offsets,
+)
+
+
+def _bn(name: str):
+    """BatchNorm1d equivalent: feature-last, fp32 stats (reference
+    ``nn.BatchNorm1d`` reduces over every non-channel dim, as flax does)."""
+    return nn.BatchNorm(use_running_average=None, dtype=jnp.float32,
+                        momentum=0.9, epsilon=1e-5, name=name)
+
+
+def knn_group(
+    nsample: int,
+    p: jax.Array,  # [n, 3] support
+    offsets: jax.Array,  # [B]
+    q: jax.Array,  # [m, 3] queries
+    q_offsets: jax.Array,  # [B]
+    feats: jax.Array,  # [n, c]
+) -> Tuple[jax.Array, jax.Array]:
+    """``pointops.queryandgroup`` (pointops.py:151-172) split into its two
+    outputs: (relative grouped xyz [m, ns, 3], grouped feats [m, ns, c]).
+    """
+    idx, _ = knn_query_packed(nsample, p, offsets, q, q_offsets)
+    rel = p[idx] - q[:, None, :]
+    return rel, feats[idx]
+
+
+class PointTransformerLayer(nn.Module):
+    """Vector self-attention over kNN neighborhoods
+    (``PointTransformerLayer``, pointtransformer.py:14-50).
+
+    out_planes == mid_planes in the reference (``out_planes // 1``), so
+    the position-embedding group-sum at :41-42 is the identity; kept as
+    such here.
+    """
+
+    out_planes: int
+    share_planes: int = 8
+    nsample: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, p: jax.Array, x: jax.Array, offsets: jax.Array, train: bool = False
+    ) -> jax.Array:
+        c = self.out_planes
+        s = self.share_planes
+        q = nn.Dense(c, dtype=self.dtype, name="linear_q")(x)
+        k = nn.Dense(c, dtype=self.dtype, name="linear_k")(x)
+        v = nn.Dense(c, dtype=self.dtype, name="linear_v")(x)
+
+        idx, _ = knn_query_packed(self.nsample, p, offsets, p, offsets)
+        p_r = p[idx] - p[:, None, :]  # [n, ns, 3]
+        xk = k[idx]  # [n, ns, c]
+        xv = v[idx]
+
+        # linear_p: Linear(3,3) -> BN -> ReLU -> Linear(3, c)
+        pe = nn.Dense(3, dtype=self.dtype, name="linear_p_0")(p_r)
+        pe = _bn("linear_p_1")(pe, use_running_average=not train)
+        pe = nn.relu(pe)
+        pe = nn.Dense(c, dtype=self.dtype, name="linear_p_3")(pe)
+
+        w = xk - q[:, None, :] + pe  # [n, ns, c]
+        # linear_w: BN -> ReLU -> Linear(c, c/s) -> BN -> ReLU -> Linear(c/s, c/s)
+        w = _bn("linear_w_0")(w, use_running_average=not train)
+        w = nn.relu(w)
+        w = nn.Dense(c // s, dtype=self.dtype, name="linear_w_2")(w)
+        w = _bn("linear_w_3")(w, use_running_average=not train)
+        w = nn.relu(w)
+        w = nn.Dense(c // s, dtype=self.dtype, name="linear_w_5")(w)
+        w = jax.nn.softmax(w, axis=1)  # over the nsample axis
+
+        n, ns = w.shape[0], self.nsample
+        val = (xv + pe).reshape(n, ns, s, c // s)
+        out = jnp.sum(val * w[:, :, None, :], axis=1)  # [n, s, c/s]
+        return out.reshape(n, c)
+
+
+class PointNet2EdgeConvLayer(nn.Module):
+    """Max-pooled local PointNet over kNN groups
+    (``PointNet2EdgeConvLayer``, pointtransformer.py:198-214)."""
+
+    out_planes: int
+    nsample: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, p: jax.Array, x: jax.Array, offsets: jax.Array, train: bool = False
+    ) -> jax.Array:
+        rel, feats = knn_group(self.nsample, p, offsets, p, offsets, x)
+        h = jnp.concatenate([rel, feats], axis=-1)  # [n, ns, 3+c]
+        h = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype,
+                     name="conv_0")(h)
+        h = _bn("conv_1")(h, use_running_average=not train)
+        h = nn.relu(h)
+        return jnp.max(h, axis=1)
+
+
+class PointTransformerBlock(nn.Module):
+    """Residual bottleneck around the transformer layer
+    (``PointTransformerBlock``, pointtransformer.py:146-167)."""
+
+    planes: int
+    share_planes: int = 8
+    nsample: int = 16
+    mid_res: bool = False  # unused by this block type (parity with ref signature)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, p: jax.Array, x: jax.Array, offsets: jax.Array, train: bool = False
+    ) -> jax.Array:
+        identity = x
+        h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype, name="linear1")(x)
+        h = _bn("bn1")(h, use_running_average=not train)
+        h = nn.relu(h)
+        h = PointTransformerLayer(
+            self.planes, self.share_planes, self.nsample, dtype=self.dtype,
+            name="transformer2",
+        )(p, h, offsets, train)
+        h = _bn("bn2")(h, use_running_average=not train)
+        h = nn.relu(h)
+        h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype, name="linear3")(h)
+        h = _bn("bn3")(h, use_running_average=not train)
+        return nn.relu(h + identity)
+
+
+class EdgeConvBlock(nn.Module):
+    """Residual EdgeConv block (``EdgeConvBlock``,
+    pointtransformer.py:170-195); ``mid_res`` moves the skip to after
+    linear1 like the reference."""
+
+    planes: int
+    share_planes: int = 8
+    nsample: int = 16
+    mid_res: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, p: jax.Array, x: jax.Array, offsets: jax.Array, train: bool = False
+    ) -> jax.Array:
+        identity = None if self.mid_res else x
+        h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype, name="linear1")(x)
+        h = _bn("bn1")(h, use_running_average=not train)
+        h = nn.relu(h)
+        if self.mid_res:
+            identity = h
+        h = PointNet2EdgeConvLayer(
+            self.planes, self.nsample, dtype=self.dtype, name="local_aggr"
+        )(p, h, offsets, train)
+        h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype, name="linear3")(h)
+        h = _bn("bn3")(h, use_running_average=not train)
+        return nn.relu(h + identity)
+
+
+_BLOCKS = {
+    "PointTransformerBlock": PointTransformerBlock,
+    "EdgeConvBlock": EdgeConvBlock,
+}
+
+
+class TransitionDown(nn.Module):
+    """Strided FPS + kNN-group + shared MLP + max
+    (``TransitionDown``, pointtransformer.py:79-108).
+
+    ``npoint`` (per-cloud sample count at stride > 1) is static — the
+    reference derives it as ``count // stride`` at trace time from the
+    offsets (:94-98); equal-sized clouds make it a Python int here.
+    """
+
+    out_planes: int
+    stride: int = 1
+    nsample: int = 16
+    npoint: Optional[int] = None  # required when stride != 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, p: jax.Array, x: jax.Array, offsets: jax.Array, train: bool = False
+    ):
+        if self.stride == 1:
+            h = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype,
+                         name="linear")(x)
+            h = _bn("bn")(h, use_running_average=not train)
+            return p, nn.relu(h), offsets
+        B = offsets.shape[0]
+        idx = farthest_point_sample_packed(p, offsets, self.npoint)  # [B, m]
+        new_p = p[idx.reshape(-1)]  # [B*m, 3]
+        new_offsets = (jnp.arange(1, B + 1) * self.npoint).astype(offsets.dtype)
+        rel, feats = knn_group(self.nsample, p, offsets, new_p, new_offsets, x)
+        h = jnp.concatenate([rel, feats], axis=-1)  # [m', ns, 3+c]
+        h = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype,
+                     name="linear")(h)
+        h = _bn("bn")(h, use_running_average=not train)
+        h = nn.relu(h)
+        return new_p, jnp.max(h, axis=1), new_offsets
+
+
+class TransitionUp(nn.Module):
+    """Decoder upsampling (``TransitionUp``, pointtransformer.py:111-143).
+
+    Head mode (``out_planes is None``): concat each point's features with
+    a per-cloud mean embedding (segment_sum replaces the reference's
+    Python loop over clouds) -> linear1. Fusion mode: linear1(fine skip)
+    + interpolated linear2(coarse).
+    """
+
+    in_planes: int
+    out_planes: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        p1: jax.Array,
+        x1: jax.Array,
+        o1: jax.Array,
+        p2: Optional[jax.Array] = None,
+        x2: Optional[jax.Array] = None,
+        o2: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        if self.out_planes is None:
+            n = x1.shape[0]
+            B = o1.shape[0]
+            seg = segment_ids_from_offsets(o1, n)
+            counts = jnp.diff(jnp.concatenate([jnp.zeros((1,), o1.dtype), o1]))
+            mean = (
+                jax.ops.segment_sum(x1, seg, num_segments=B)
+                / counts[:, None].astype(x1.dtype)
+            )
+            g = nn.Dense(self.in_planes, dtype=self.dtype, name="linear2_0")(mean)
+            g = nn.relu(g)
+            h = jnp.concatenate([x1, g[seg]], axis=-1)
+            h = nn.Dense(self.in_planes, dtype=self.dtype, name="linear1_0")(h)
+            h = _bn("linear1_1")(h, use_running_average=not train)
+            return nn.relu(h)
+
+        a = nn.Dense(self.out_planes, dtype=self.dtype, name="linear1_0")(x1)
+        a = _bn("linear1_1")(a, use_running_average=not train)
+        a = nn.relu(a)
+        b = nn.Dense(self.out_planes, dtype=self.dtype, name="linear2_0")(x2)
+        b = _bn("linear2_1")(b, use_running_average=not train)
+        b = nn.relu(b)
+        return a + interpolation_packed(p2, o2, p1, o1, b)
+
+
+@dataclasses.dataclass(frozen=True)
+class PointTransformerConfig:
+    """PTSeg hyper-parameters (``PTSeg.__init__``,
+    pointtransformer.py:218-256). ``blocks`` per the point-transformer
+    paper / openpoints cfg: [2, 3, 4, 6, 3]."""
+
+    block: str = "PointTransformerBlock"
+    blocks: Tuple[int, ...] = (2, 3, 4, 6, 3)
+    width: int = 32
+    nsample: Tuple[int, ...] = (8, 16, 16, 16, 16)
+    strides: Tuple[int, ...] = (1, 4, 4, 4, 4)
+    in_channels: int = 6
+    num_classes: int = 13
+    share_planes: int = 8
+    dec_local_aggr: bool = True
+    mid_res: bool = False
+
+
+class PointTransformerSeg(nn.Module):
+    """The PTSeg U-Net over packed clouds; batched wrapper.
+
+    ``__call__(pts [B,N,3], feats [B,N,C] | None)`` -> ``[B, N, classes]``.
+    ``feats=None`` uses the coordinates as features (``PTSeg.forward``,
+    pointtransformer.py:280-281).
+    """
+
+    config: PointTransformerConfig = PointTransformerConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        pts: jax.Array,
+        feats: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        cfg = self.config
+        B, N, _ = pts.shape
+        total_stride = 1
+        for st in cfg.strides:
+            total_stride *= st
+        if N % total_stride:
+            raise ValueError(f"N={N} must be divisible by {total_stride}")
+        block_cls = _BLOCKS[cfg.block]
+        planes = [cfg.width * 2**i for i in range(len(cfg.blocks))]
+
+        p = pts.reshape(B * N, 3).astype(jnp.float32)
+        x = (feats if feats is not None else pts).reshape(B * N, -1)
+        x = x.astype(self.dtype)
+        o = (jnp.arange(1, B + 1) * N).astype(jnp.int32)
+
+        # ---- encoder ----
+        skips = []
+        counts = N
+        for lvl in range(len(cfg.blocks)):
+            stride = cfg.strides[lvl]
+            counts = counts // stride
+            p, x, o = TransitionDown(
+                planes[lvl], stride, cfg.nsample[lvl],
+                npoint=counts if stride != 1 else None,
+                dtype=self.dtype, name=f"enc{lvl + 1}_0",
+            )(p, x, o, train)
+            for j in range(1, cfg.blocks[lvl]):
+                x = block_cls(
+                    planes[lvl], cfg.share_planes, cfg.nsample[lvl],
+                    mid_res=cfg.mid_res, dtype=self.dtype,
+                    name=f"enc{lvl + 1}_{j}",
+                )(p, x, o, train)
+            skips.append((p, x, o))
+
+        # ---- decoder (2 stages per level: TransitionUp + optional block) ----
+        n_lvl = len(cfg.blocks)
+        p5, x5, o5 = skips[-1]
+        x = TransitionUp(planes[-1], None, dtype=self.dtype,
+                         name=f"dec{n_lvl}_0")(p5, x5, o5, train=train)
+        if cfg.dec_local_aggr:
+            x = block_cls(
+                planes[-1], cfg.share_planes, cfg.nsample[-1],
+                mid_res=cfg.mid_res, dtype=self.dtype, name=f"dec{n_lvl}_1",
+            )(p5, x, o5, train)
+        coarse = (p5, x, o5)
+
+        for lvl in range(n_lvl - 2, -1, -1):
+            pl, xl, ol = skips[lvl]
+            pc, xc, oc = coarse
+            x = TransitionUp(
+                planes[lvl + 1], planes[lvl], dtype=self.dtype,
+                name=f"dec{lvl + 1}_0",
+            )(pl, xl, ol, pc, xc, oc, train)
+            if cfg.dec_local_aggr:
+                x = block_cls(
+                    planes[lvl], cfg.share_planes, cfg.nsample[lvl],
+                    mid_res=cfg.mid_res, dtype=self.dtype,
+                    name=f"dec{lvl + 1}_1",
+                )(pl, x, ol, train)
+            coarse = (pl, x, ol)
+
+        # ---- head: Linear -> BN -> ReLU -> Linear (pointtransformer.py:255) ----
+        h = nn.Dense(planes[0], dtype=self.dtype, name="cls_0")(coarse[1])
+        h = _bn("cls_1")(h, use_running_average=not train)
+        h = nn.relu(h)
+        h = nn.Dense(cfg.num_classes, dtype=self.dtype, name="cls_3")(h)
+        return h.reshape(B, N, cfg.num_classes)

@@ -135,9 +135,15 @@ def interpolation_packed(
     src_feats: jax.Array,  # [S, C]
 ) -> jax.Array:
     """3-NN inverse-distance interpolation over packed clouds
-    (``pointops.interpolation``)."""
+    (``pointops.interpolation``).
+
+    Weights follow the reference contract exactly: ``knnquery`` returns
+    EUCLIDEAN distances (``pointops.py:47`` takes sqrt of dist2) and the
+    interpolation reciprocal is over those (``pointops.py:252``) — unlike
+    the pointnet2-utils three_interpolate, which weights by 1/dist^2.
+    """
     idx, d = knn_query_packed(3, src_xyz, src_offsets, dst_xyz, dst_offsets)
-    recip = 1.0 / (d + 1e-8)
+    recip = 1.0 / (jnp.sqrt(d) + 1e-8)
     w = recip / jnp.sum(recip, axis=-1, keepdims=True)
     return jnp.sum(src_feats[idx] * w[..., None], axis=1).astype(src_feats.dtype)
 

@@ -168,6 +168,49 @@ def convert_pointbert(sd: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+def convert_pointbert_partseg(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """ULIP PointBERT partseg trunk (``point_encoder.py:260-420``):
+    the cls-trunk mapping plus the dense-prediction modules —
+    PointNetFeaturePropagation (``pointnet2_utils.py:297-368``),
+    DGCNN_Propagation (``:371-467``), and the 128-d head conv."""
+    tree = convert_pointbert(sd)
+    sd = _strip_module(sd)
+    pe = "point_encoder."
+    p: Flat = {}
+    s: Flat = {}
+    for j in (0, 1, 2):
+        src = f"{pe}propagation_{j}"
+        if f"{src}.mlp_convs.0.weight" not in sd:
+            continue
+        dst = ("point_encoder", f"propagation_{j}")
+        i = 0
+        while f"{src}.mlp_convs.{i}.weight" in sd:
+            _conv1x1(p, dst + (f"conv{i}",), sd[f"{src}.mlp_convs.{i}.weight"],
+                     sd.get(f"{src}.mlp_convs.{i}.bias"))
+            _bn(p, s, dst + (f"bn{i}",), sd, f"{src}.mlp_bns.{i}")
+            i += 1
+    for j in (1, 2):
+        src = f"{pe}dgcnn_pro_{j}"
+        if f"{src}.layer1.0.weight" not in sd:
+            continue
+        dst = ("point_encoder", f"dgcnn_pro_{j}")
+        for layer, gn in (("layer1", "gn1"), ("layer2", "gn2")):
+            _conv1x1(p, dst + (layer,), sd[f"{src}.{layer}.0.weight"])
+            _ln(p, dst + (gn,), sd, f"{src}.{layer}.1")  # GroupNorm affine
+    if f"{pe}conv1.weight" in sd:
+        _conv1x1(p, ("point_encoder", "conv1"), sd[f"{pe}conv1.weight"],
+                 sd.get(f"{pe}conv1.bias"))
+        _bn(p, s, ("point_encoder", "bn1"), sd, f"{pe}bn1")
+    flat_p = traverse_util.flatten_dict(tree["params"])
+    flat_p.update(p)
+    flat_s = traverse_util.flatten_dict(tree["batch_stats"])
+    flat_s.update(s)
+    return {
+        "params": traverse_util.unflatten_dict(flat_p),
+        "batch_stats": traverse_util.unflatten_dict(flat_s),
+    }
+
+
 # ---------------------------------------------------------------------------
 # PointNet++ SSG / MSG
 # ---------------------------------------------------------------------------
@@ -405,15 +448,269 @@ def convert_pointnet(sd: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+def convert_pointtransformer(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """openpoints PTSeg (``backbone/pointtransformer.py:218-293``) ->
+    ``ppt_tpu.nn.PointTransformerSeg`` tree.
+
+    The mapping is mechanical because the flax module mirrors the torch
+    attribute tree with Sequential indices folded into the parent name
+    (``enc1.1.transformer2.linear_p.1`` -> ``enc1_1/transformer2/
+    linear_p_1``): every integer path segment merges into its
+    predecessor, BN modules are detected by their ``running_mean``.
+    """
+    sd = _strip_module(sd)
+    p: Flat = {}
+    s: Flat = {}
+
+    def flax_path(parts):
+        out = []
+        for part in parts:
+            if part.isdigit() and out:
+                out[-1] = f"{out[-1]}_{part}"
+            else:
+                out.append(part)
+        return tuple(out)
+
+    modules = sorted({k.rsplit(".", 1)[0] for k in sd})
+    for src in modules:
+        dst = flax_path(src.split("."))
+        if src + ".running_mean" in sd:
+            _bn(p, s, dst, sd, src)
+        elif src + ".weight" in sd:
+            w = _t(sd[src + ".weight"])
+            b = sd.get(src + ".bias")
+            if w.ndim > 2:
+                _conv1x1(p, dst, w, b)
+            else:
+                _linear(p, dst, w, b)
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
+def convert_randlanet(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """RandLA-Net (``backbone/randlenet.py:186-301``) ->
+    ``ppt_tpu.nn.RandLANet`` tree.
+
+    Same mechanical integer-folding as :func:`convert_pointtransformer`,
+    plus RandLA-specific renames: SharedMLP's ``batch_norm`` -> ``bn``,
+    the Sequential singletons ``score_fn.0``/``bn_start.0`` lose their
+    index, and decoder ConvTranspose2d kernels ([in, out, 1, 1]) are NOT
+    transposed (a k=1 s=1 transposed conv IS a 1x1 conv with the flax
+    kernel layout already).
+    """
+    sd = _strip_module(sd)
+    p: Flat = {}
+    s: Flat = {}
+
+    def flax_path(parts):
+        out = []
+        for part in parts:
+            if part == "batch_norm":
+                part = "bn"
+            if part.isdigit() and out:
+                out[-1] = f"{out[-1]}_{part}"
+            else:
+                out.append(part)
+        return tuple(
+            seg[:-2] if seg in ("score_fn_0", "bn_start_0") else seg
+            for seg in out
+        )
+
+    modules = sorted({k.rsplit(".", 1)[0] for k in sd})
+    for src in modules:
+        dst = flax_path(src.split("."))
+        if src + ".running_mean" in sd:
+            _bn(p, s, dst, sd, src)
+        elif src + ".weight" in sd:
+            w = _t(sd[src + ".weight"])
+            b = sd.get(src + ".bias")
+            if w.ndim > 2:
+                w2 = w.reshape(w.shape[0], w.shape[1])
+                if src.startswith("decoder."):
+                    p[dst + ("kernel",)] = w2  # transposed conv: already [in, out]
+                    if b is not None:
+                        p[dst + ("bias",)] = _t(b)
+                else:
+                    _conv1x1(p, dst, w, b)
+            else:
+                _linear(p, dst, w, b)
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
+def _convblock(p: Flat, s: Flat, dst: Tuple[str, ...], sd, src: str):
+    """create_convblock* Sequential -> {conv, bn}: conv at index 0, BN at
+    whichever index carries running stats (order differs per model)."""
+    _conv1x1(p, dst + ("conv",), sd[src + ".0.weight"], sd.get(src + ".0.bias"))
+    for j in (1, 2):
+        if f"{src}.{j}.running_mean" in sd:
+            _bn(p, s, dst + ("bn",), sd, f"{src}.{j}")
+
+
+def convert_balldgcnn(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """openpoints BallDGCNN (``backbone/ball_dgcnn.py:13-108``) ->
+    ``ppt_tpu.nn.BallDgcnn`` tree."""
+    sd = _strip_module(sd)
+    p: Flat = {}
+    s: Flat = {}
+    _convblock(p, s, ("edge0",), sd, "head.gconv.nn")
+    i = 0
+    while f"backbone.{i}.gconv.nn.0.weight" in sd:
+        _convblock(p, s, (f"edge{i + 1}",), sd, f"backbone.{i}.gconv.nn")
+        i += 1
+    _convblock(p, s, ("fusion",), sd, "fusion_block")
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
+def convert_deepgcn(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """openpoints DeepGCN (``backbone/deepgcn.py:13-128``) ->
+    ``ppt_tpu.nn.DeepGcn`` tree."""
+    sd = _strip_module(sd)
+    p: Flat = {}
+    s: Flat = {}
+    _convblock(p, s, ("edge0",), sd, "head.gconv.nn")
+    i = 0
+    while f"backbone.{i}.body.gconv.nn.0.weight" in sd:
+        _convblock(p, s, (f"edge{i + 1}",), sd, f"backbone.{i}.body.gconv.nn")
+        i += 1
+    _convblock(p, s, ("fusion",), sd, "fusion_block")
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
+def convert_grouppointnet(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """openpoints GroupPointNet (``backbone/grouppointnet.py:11-100``) ->
+    ``ppt_tpu.nn.GroupPointNet`` tree."""
+    sd = _strip_module(sd)
+    p: Flat = {}
+    s: Flat = {}
+    i = 0
+    while f"backbone.{i}.0.weight" in sd:
+        _convblock(p, s, (f"conv{i}",), sd, f"backbone.{i}")
+        i += 1
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
+def _conv2d(dst_params: Flat, path: Tuple[str, ...], w, b=None):
+    """torch Conv2d [out, in, kh, kw] -> flax HWIO kernel."""
+    dst_params[path + ("kernel",)] = _t(w).transpose(2, 3, 1, 0)
+    if b is not None:
+        dst_params[path + ("bias",)] = _t(b)
+
+
+def convert_simpleview(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """openpoints MVModel (``backbone/simpleview.py:62-153``) ->
+    ``ppt_tpu.nn.SimpleView`` tree.
+
+    img_model Sequential: 0=stem conv, 1=stem bn, 3..6=resnet layer1..4
+    (each a Sequential of BasicBlocks), 7=avgpool. final_fc.model:
+    0=BatchNormPoint, 3=Linear, 4=BN, 7=Linear.
+    """
+    sd = _strip_module(sd)
+    p: Flat = {}
+    s: Flat = {}
+    _conv2d(p, ("stem_conv",), sd["img_model.0.weight"])
+    _bn(p, s, ("stem_bn",), sd, "img_model.1")
+    for stage in range(4):
+        seq = 3 + stage
+        b = 0
+        while f"img_model.{seq}.{b}.conv1.weight" in sd:
+            src = f"img_model.{seq}.{b}"
+            dst = ("backbone", f"layer{stage + 1}_{b}")
+            for c in ("conv1", "conv2", "conv3"):
+                if f"{src}.{c}.weight" in sd:
+                    _conv2d(p, dst + (c,), sd[f"{src}.{c}.weight"])
+            for n in ("bn1", "bn2", "bn3"):
+                if f"{src}.{n}.weight" in sd:
+                    _bn(p, s, dst + (n,), sd, f"{src}.{n}")
+            if f"{src}.downsample.0.weight" in sd:
+                _conv2d(p, dst + ("ds_conv",), sd[f"{src}.downsample.0.weight"])
+                _bn(p, s, dst + ("ds_bn",), sd, f"{src}.downsample.1")
+            b += 1
+    _bn(p, s, ("fc_bn0",), sd, "final_fc.model.0.bn")
+    _linear(p, ("fc1",), sd["final_fc.model.3.weight"],
+            sd.get("final_fc.model.3.bias"))
+    _bn(p, s, ("fc_bn1",), sd, "final_fc.model.4")
+    _linear(p, ("fc2",), sd["final_fc.model.7.weight"],
+            sd.get("final_fc.model.7.bias"))
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
+def convert_baafnet(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """openpoints BAAFNet (``backbone/baafnet.py:365-527``) ->
+    ``ppt_tpu.nn.BaafNet`` tree. Integer path segments fold into their
+    parent (``EncoderBCBModules.0.BA.mlp1`` -> ``EncoderBCBModules_0/BA/
+    mlp1``); ``conv_trans`` (ConvTranspose1d k=1, weight [in,out,1])
+    maps to the same ``linear`` Dense without transposition."""
+    sd = _strip_module(sd)
+    p: Flat = {}
+    s: Flat = {}
+
+    def flax_path(parts):
+        out = []
+        for part in parts:
+            if part == "conv_trans":
+                part = "linear"
+            if part.isdigit() and out:
+                out[-1] = f"{out[-1]}_{part}"
+            else:
+                out.append(part)
+        return tuple(out)
+
+    modules = sorted({k.rsplit(".", 1)[0] for k in sd})
+    for src in modules:
+        dst = flax_path(src.split("."))
+        if src + ".running_mean" in sd:
+            _bn(p, s, dst, sd, src)
+        elif src + ".weight" in sd:
+            w = _t(sd[src + ".weight"])
+            b = sd.get(src + ".bias")
+            if src.endswith("conv_trans"):
+                p[dst + ("kernel",)] = w.reshape(w.shape[0], w.shape[1])
+                if b is not None:
+                    p[dst + ("bias",)] = _t(b)
+            elif w.ndim > 2:
+                _conv1x1(p, dst, w, b)
+            else:
+                _linear(p, dst, w, b)
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "batch_stats": traverse_util.unflatten_dict(s),
+    }
+
+
 CONVERTERS = {
     "slip": convert_slip_text,
     "pointbert": convert_pointbert,
+    "pointbert_partseg": convert_pointbert_partseg,
     "pointnet2_ssg": convert_pointnet2,
     "pointnet2_msg": lambda sd: convert_pointnet2(sd, msg=True),
     "pointmlp": convert_pointmlp,
     "pointnext": convert_pointnext,
     "dgcnn": convert_dgcnn,
     "pointnet": convert_pointnet,
+    "pointtransformer": convert_pointtransformer,
+    "randlanet": convert_randlanet,
+    "balldgcnn": convert_balldgcnn,
+    "deepgcn": convert_deepgcn,
+    "grouppointnet": convert_grouppointnet,
+    "simpleview": convert_simpleview,
+    "baafnet": convert_baafnet,
 }
 
 
