@@ -1,0 +1,172 @@
+"""GraphViT-3D: plain ViT over point-cloud patch embeddings.
+
+Reference: ``openpoints/models/backbone/graphvit3d.py:11-134`` (ViTGraph)
+with the patch embedding from ``layers/group_embed.py:59-174``
+(PointPatchEmbed) and the encoder from ``layers/attention.py:61-105``
+(TransformerEncoder — position injected at EVERY block, same convention
+as PointBERT).
+
+NOTE a reference defect, preserved knowledge not behavior: graphvit3d.py
+imports ``GroupEmbed``/``KMeansEmbed`` from ``..layers`` but no
+``GroupEmbed`` exists anywhere in the openpoints tree — the file is
+unimportable dead code upstream. This port therefore binds the embed to
+the PointPatchEmbed contract (the only group-embedding actually defined)
+and is validated by construction tests rather than torch parity.
+
+TPU-first: channels-last, Dense 1x1 convs, shared ops grouping (Pallas
+kernels on TPU), and the same VitBlock used by PointBERT (bf16 scores).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ppt_tpu import ops
+from ppt_tpu.nn.pointbert import VitBlock
+
+
+class PointPatchEmbed(nn.Module):
+    """FPS + neighborhood grouping + two conv stages with a global-max
+    bottleneck (``PointPatchEmbed``, group_embed.py:59-174).
+
+    channels plan with ``layers=4``: [C0, e, e, 2e, e] where the first
+    stage ends without norm/act, the bottleneck doubles via max-pool
+    concat, and the last conv is linear (group_embed.py:108-131).
+    """
+
+    num_groups: int = 256
+    group_size: int = 32
+    embed_dim: int = 256
+    layers: int = 4
+    feature_type: str = "dp_fj"  # dp | fj | dp_fj | dp_df | df
+    group: str = "knn"
+    radius: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, p: jax.Array, x: Optional[jax.Array] = None, train: bool = False
+    ) -> Tuple[jax.Array, jax.Array]:
+        e = self.embed_dim
+        idx = ops.farthest_point_sample(p, self.num_groups)
+        center = ops.index_points(p, idx)  # [B, G, 3]
+        if "ball" in self.group or "query" in self.group:
+            nbr = ops.query_ball_point(self.radius, self.group_size, p, center)
+        else:
+            nbr = ops.knn_point(self.group_size, p, center)
+        dp = (ops.index_points(p, nbr) - center[:, :, None, :]).astype(self.dtype)
+
+        feats = x if x is not None else p
+        fj = ops.index_points(feats, nbr).astype(self.dtype)
+        if self.feature_type == "dp":
+            h = dp
+        elif self.feature_type == "fj":
+            h = fj
+        elif self.feature_type == "dp_fj":
+            h = jnp.concatenate([dp, fj], axis=-1)
+        elif self.feature_type == "df":
+            h = fj - ops.index_points(feats, idx).astype(self.dtype)[:, :, None, :]
+        else:  # dp_df
+            cf = ops.index_points(feats, idx).astype(self.dtype)[:, :, None, :]
+            h = jnp.concatenate([dp, fj - cf], axis=-1)
+
+        half = self.layers // 2
+        for i in range(half):
+            last = i == half - 1
+            h = nn.Dense(e, use_bias=last, dtype=self.dtype, name=f"conv1_{i}")(h)
+            if not last:
+                h = nn.BatchNorm(use_running_average=not train,
+                                 dtype=jnp.float32, name=f"bn1_{i}")(h)
+                h = nn.relu(h)
+        pooled = jnp.max(h, axis=2, keepdims=True)  # [B, G, 1, e]
+        h = jnp.concatenate(
+            [jnp.broadcast_to(pooled, h.shape), h], axis=-1
+        )  # [B, G, K, 2e]
+        widths = [2 * e] * (self.layers - half - 1) + [e]
+        for i, w in enumerate(widths):
+            last = i == len(widths) - 1
+            h = nn.Dense(w, use_bias=last, dtype=self.dtype, name=f"conv2_{i}")(h)
+            if not last:
+                h = nn.BatchNorm(use_running_average=not train,
+                                 dtype=jnp.float32, name=f"bn2_{i}")(h)
+                h = nn.relu(h)
+        return center, jnp.max(h, axis=2)  # [B, G, e]
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphVit3dConfig:
+    in_chans: int = 3
+    encoder_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.0
+    num_groups: int = 256
+    group_size: int = 32
+    embed_dim: int = 256
+    feature_type: str = "dp_fj"
+    group: str = "knn"
+
+
+class GraphVit3d(nn.Module):
+    """ViTGraph (graphvit3d.py:104-117): patch embed -> proj -> cls token
+    + per-block position injection -> LN. Returns (center_xyz,
+    tokens [B, 1+G, D])."""
+
+    config: GraphVit3dConfig = GraphVit3dConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, xyz: jax.Array, features: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> Tuple[jax.Array, jax.Array]:
+        cfg = self.config
+        center, emb = PointPatchEmbed(
+            num_groups=cfg.num_groups, group_size=cfg.group_size,
+            embed_dim=cfg.embed_dim, feature_type=cfg.feature_type,
+            group=cfg.group, dtype=self.dtype, name="group_embed",
+        )(xyz.astype(jnp.float32), features, train)
+        h = nn.Dense(cfg.encoder_dim, dtype=self.dtype, name="proj_layer")(emb)
+
+        B = h.shape[0]
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, cfg.encoder_dim)
+        )
+        cls_pos = self.param(
+            "cls_pos", nn.initializers.normal(0.02), (1, 1, cfg.encoder_dim)
+        )
+        pos = nn.Dense(128, dtype=self.dtype, name="pos_embed1")(center)
+        pos = nn.gelu(pos)
+        pos = nn.Dense(cfg.encoder_dim, dtype=self.dtype, name="pos_embed2")(pos)
+
+        h = jnp.concatenate(
+            [jnp.broadcast_to(cls_token.astype(self.dtype),
+                              (B, 1, cfg.encoder_dim)), h], axis=1
+        )
+        pos = jnp.concatenate(
+            [jnp.broadcast_to(cls_pos.astype(self.dtype),
+                              (B, 1, cfg.encoder_dim)), pos], axis=1
+        )
+        rates = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        for i in range(cfg.depth):
+            h = VitBlock(
+                cfg.num_heads, drop_path=float(rates[i]),
+                mlp_ratio=cfg.mlp_ratio, dtype=self.dtype, name=f"block_{i}",
+            )(h + pos, deterministic=not train)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm")(h)
+        return center, h
+
+    def cls_feat(self, xyz, features=None, train: bool = False):
+        """[cls token, max over patch tokens] — the PointBERT/PointViT
+        classification readout convention."""
+        _, tokens = self(xyz, features, train)
+        return jnp.concatenate(
+            [tokens[:, 0], jnp.max(tokens[:, 1:], axis=1)], axis=-1
+        )
