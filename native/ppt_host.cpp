@@ -187,6 +187,63 @@ void ppt_knn_batch(const float* query, int b, int nq, const float* support,
 }
 
 // ---------------------------------------------------------------------------
+// Farthest point sampling (CPU, batched).
+//
+// Dataset-construction path: the reference re-FPS-es every ModelNet item
+// at load time (data/dataset_3d.py:294-300) with a numpy Python loop —
+// tens of minutes for the full corpus on one core. This is the same
+// algorithm as the device Pallas kernel (min-distance update + argmax)
+// in a tight C loop: ~1 ms per 8192->1024 cloud.
+//
+// points: [b, n, 3]; out_idx: [b, npoint] indices into each cloud.
+// start: index of the first sample for every cloud (deterministic; the
+// reference uses a random start, which only shifts which FPS solution
+// of equal quality is picked).
+// ---------------------------------------------------------------------------
+void ppt_fps_batch(const float* points, int b, int n, int npoint, int start,
+                   int* out_idx) {
+  // planar layout + branchless two-pass body so both loops vectorize
+  std::vector<float> xs(n), ys(n), zs(n), dist(n);
+  for (int bi = 0; bi < b; ++bi) {
+    const float* pts = points + static_cast<int64_t>(bi) * n * 3;
+    int* out = out_idx + static_cast<int64_t>(bi) * npoint;
+    for (int j = 0; j < n; ++j) {
+      xs[j] = pts[j * 3 + 0];
+      ys[j] = pts[j * 3 + 1];
+      zs[j] = pts[j * 3 + 2];
+    }
+    std::fill(dist.begin(), dist.end(), std::numeric_limits<float>::max());
+    int far = start;
+    for (int i = 0; i < npoint; ++i) {
+      out[i] = far;
+      const float cx = xs[far], cy = ys[far], cz = zs[far];
+      float* __restrict__ dp = dist.data();
+      const float* __restrict__ xp = xs.data();
+      const float* __restrict__ yp = ys.data();
+      const float* __restrict__ zp = zs.data();
+      for (int j = 0; j < n; ++j) {  // min-update: auto-vectorizes
+        const float dx = xp[j] - cx;
+        const float dy = yp[j] - cy;
+        const float dz = zp[j] - cz;
+        const float d2 = dx * dx + dy * dy + dz * dz;
+        dp[j] = d2 < dp[j] ? d2 : dp[j];
+      }
+      // argmax as vectorizable max-reduce + first-equal scan
+      float best = dp[0];
+      for (int j = 1; j < n; ++j) best = dp[j] > best ? dp[j] : best;
+      int best_j = 0;
+      for (int j = 0; j < n; ++j) {
+        if (dp[j] == best) {
+          best_j = j;
+          break;
+        }
+      }
+      far = best_j;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Z-buffer ball renderer (visualization).
 //
 // points: [n, 3] normalized coords in [-1, 1]; colors: [n, 3] uint8.

@@ -86,3 +86,43 @@ class TestRenderer:
         img = native.render_balls(pts, cols, size=(64, 64), radius=5)
         center = img[32, 32]
         assert center[1] > center[0]  # nearer (green, z=0.5) wins
+
+
+class TestFpsBatch:
+    """ppt_fps_batch: exact match with the start-0 numpy FPS recurrence
+    (same min-distance/argmax algorithm as ops.farthest_point_sample)."""
+
+    def _fps0(self, p, m):
+        N = p.shape[0]
+        out = np.zeros(m, dtype=np.int64)
+        dist = np.full(N, 1e10)
+        far = 0
+        for i in range(m):
+            out[i] = far
+            d = ((p - p[far]) ** 2).sum(1)
+            dist = np.minimum(dist, d)
+            far = int(np.argmax(dist))
+        return out
+
+    def test_exact_vs_numpy(self, rng):
+        pts = rng.rand(3, 256, 3).astype(np.float32)
+        idx = native.fps_batch(pts, 64)
+        assert idx.shape == (3, 64)
+        for b in range(3):
+            np.testing.assert_array_equal(
+                idx[b].astype(np.int64), self._fps0(pts[b], 64)
+            )
+
+    def test_modelnet_scale_load(self, rng):
+        """A 64x8192 corpus re-FPS-es in well under a second per cloud
+        (the numpy loop needs seconds per cloud)."""
+        import time
+
+        pts = rng.rand(64, 8192, 3).astype(np.float32)
+        native.fps_batch(pts[:1], 128)  # warm the .so
+        t0 = time.time()
+        idx = native.fps_batch(pts, 1024)
+        per_cloud = (time.time() - t0) / 64
+        assert idx.shape == (64, 1024)
+        # generous bound: CI boxes are contended; numpy needs > 1 s/cloud
+        assert per_cloud < 0.25, f"{per_cloud:.3f}s per cloud"
