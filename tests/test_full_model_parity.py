@@ -456,3 +456,80 @@ def test_pointnet_encoder_full_forward_parity(rng):
     )
     got = np.asarray(model.apply(merged, jnp.asarray(pc.numpy())))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference unavailable")
+def test_pointbert_partseg_full_forward_parity(rng):
+    """The partseg trunk (reference point_encoder.py:260-420): ViT taps
+    at blocks {3,7,11}, 3-NN feature propagation, DGCNN propagation,
+    128-d per-point head. trans_dim must be 384 (DGCNN_Propagation
+    hardcodes 768->512/1024->384 widths, pointnet2_utils.py:382-390)."""
+    import torch.nn as tnn
+
+    class _DropPath(tnn.Module):
+        def __init__(self, p=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    _stub("timm")
+    _stub("timm.models")
+    _stub("timm.models.layers", DropPath=_DropPath)
+    _stub("matplotlib")
+    _stub("matplotlib.pyplot")
+    _stub("mpl_toolkits")
+    _stub("mpl_toolkits.mplot3d", Axes3D=object)
+    _stub("easydict")
+    sys.modules["easydict"].EasyDict = dict
+
+    sys.path.insert(0, REF)
+    try:
+        from models.pointbert.point_encoder import PointTransformer_partseg
+    except Exception as e:
+        pytest.skip(f"reference partseg trunk unimportable: {e}")
+    finally:
+        sys.path.pop(0)
+
+    class Cfg:
+        trans_dim = 384  # required by DGCNN_Propagation's hardcoded widths
+        depth = 12  # required by the fixed fetch_idx {3,7,11}
+        drop_path_rate = 0.0
+        cls_dim = 50
+        num_heads = 6
+        group_size = 8
+        num_group = 32
+        encoder_dims = 64
+
+    torch.manual_seed(0)
+    ref = PointTransformer_partseg(Cfg(), args=None).eval()
+    B, N = 2, 512
+    pc = torch.tensor(rng.rand(B, N, 3).astype(np.float32))
+    onehot = torch.zeros(B, 16)
+    onehot[0, 3] = 1.0
+    onehot[1, 7] = 1.0
+    with _PinnedFps(), torch.no_grad():
+        want = ref(pc, onehot).numpy()  # [B, N, 128]
+
+    from ppt_tpu.nn import PointBertPartSeg, PointBertConfig
+    from ppt_tpu.tools.ckpt_convert import convert_pointbert_partseg
+
+    sd = {"point_encoder." + k: v for k, v in ref.state_dict().items()}
+    tree = convert_pointbert_partseg(sd)
+    cfg = PointBertConfig(
+        trans_dim=384, depth=12, drop_path_rate=0.0, num_heads=6,
+        group_size=8, num_group=32, encoder_dims=64,
+    )
+    model = PointBertPartSeg(cfg)
+    pts = jnp.asarray(pc.numpy())
+    oh = jnp.asarray(onehot.numpy())
+    variables = model.init(jax.random.PRNGKey(0), pts, oh)
+    merged = merge_pretrained(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        {
+            "params": tree["params"]["point_encoder"],
+            "batch_stats": tree["batch_stats"]["point_encoder"],
+        },
+    )
+    got = np.asarray(model.apply(merged, pts, oh))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
