@@ -1,0 +1,538 @@
+"""Stratified Transformer for 3D segmentation, TPU-native.
+
+Reference: ``openpoints/models/backbone/Stratified_transformer.py:1-558``
+(StratifiedEncoder/StratifiedDecoder: KPConv stem, shifted-window
+attention with STRATIFIED keys — dense keys from the query's own fine
+window plus sparse FPS-downsampled keys from its 2x coarse window — with
+quantized relative-position bias tables, FPS TransitionDown between
+stages, interpolation Upsample decoder).
+
+The reference runs on torch_points3d (KPConvLayer), torch_sparse,
+torch_scatter and a set of custom ``pointops`` attention CUDA kernels
+(attention_step1_v2 / dot_prod_with_idx_v3 / attention_step2) over
+variable-length index-pair lists — none of which exist in this
+environment, and none of which map to XLA. This port re-derives the same
+math in fixed-capacity dense form:
+
+  - the sparse pair list (``get_indice_pairs``, :13-45) becomes a
+    per-window member table ``[n_windows, cap]`` built with one sort —
+    queries attend to their fine-window members AND to the downsampled
+    members of their coarse window that lie in a DIFFERENT fine window
+    (exactly the reference's ``mask_mat_prev`` exclusion, :36-41);
+  - ``scatter_softmax`` over pairs (:217) becomes one masked softmax
+    over the concatenated [fine-cap + coarse-cap] key axis — identical
+    values because softmax is per-query in both forms;
+  - the relative-position bias (:190-215) keeps the reference contract:
+    per-axis quantized lookup tables ``[2L, heads, head_dim, 3]``,
+    bias = sum_axis (q_i . T_q[idx] + k_j . T_k[idx]);
+  - KPConv stem: standard kernel-point convolution with linear
+    influence max(0, 1 - d/extent) over ball neighborhoods; kernel
+    point dispositions are a deterministic center+Fibonacci-sphere
+    layout (torch_points3d ships optimizer-generated dispositions —
+    unavailable here; documented divergence, no parity possible).
+
+Windows whose population exceeds ``window_cap`` are truncated (lowest
+point index first) — set caps generously; construction tests run
+untruncated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ppt_tpu.nn.layers import DropPath
+from ppt_tpu.ops.ragged import (
+    farthest_point_sample_packed,
+    interpolation_packed,
+    knn_query_packed,
+    segment_ids_from_offsets,
+)
+
+
+# ---------------------------------------------------------------------------
+# window bookkeeping
+# ---------------------------------------------------------------------------
+
+
+def window_ids(
+    xyz: jax.Array,  # [n, 3]
+    seg: jax.Array,  # [n] cloud id
+    size: float,
+    shift: bool,
+    n_windows_cap: int,
+) -> jax.Array:
+    """Voxel-window id per point (``grid_sample``/voxel_grid, :48-69).
+
+    Shifted variant offsets coordinates by half a window (:298-300).
+    Ids are hashes folded into [0, n_windows_cap); seg participates in
+    the hash so windows never span clouds.
+    """
+    base = jnp.min(xyz, axis=0)
+    p = xyz - base + (0.5 * size if shift else 0.0)
+    cell = jnp.floor(p / size).astype(jnp.uint32)  # wraps; hash-safe
+    h = (
+        cell[:, 0] * jnp.uint32(73856093)
+        + cell[:, 1] * jnp.uint32(19349663)
+        + cell[:, 2] * jnp.uint32(83492791)
+        + seg.astype(jnp.uint32) * jnp.uint32(2654435761)
+    )
+    return jnp.mod(h, jnp.uint32(n_windows_cap)).astype(jnp.int32)
+
+
+def member_table(win: jax.Array, n_windows: int, cap: int) -> Tuple[jax.Array, jax.Array]:
+    """[n] window ids -> (members [n_windows, cap] point indices,
+    valid [n_windows, cap]). Rank within a window follows point order;
+    overflow beyond cap is dropped."""
+    n = win.shape[0]
+    order = jnp.argsort(win, stable=True)
+    sorted_win = win[order]
+    # rank of each sorted element within its window
+    same = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         (sorted_win[1:] == sorted_win[:-1]).astype(jnp.int32)]
+    )
+    idx_in_sorted = jnp.arange(n)
+    start_of_run = jnp.where(same == 0, idx_in_sorted, 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, start_of_run)
+    rank = idx_in_sorted - run_start
+    members = jnp.full((n_windows, cap), n, jnp.int32)
+    ok = rank < cap
+    members = members.at[
+        jnp.where(ok, sorted_win, n_windows - 1),
+        jnp.where(ok, rank, cap - 1),
+    ].set(jnp.where(ok, order.astype(jnp.int32), n), mode="drop")
+    valid = members < n
+    return members, valid
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+
+class StratifiedWindowAttention(nn.Module):
+    """WindowAttention (:120-232) in fixed-capacity dense form."""
+
+    dim: int
+    num_heads: int
+    window_size: float
+    quant_size: float
+    rel_query: bool = True
+    rel_key: bool = True
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jax.Array,  # [n, C]
+        xyz: jax.Array,  # [n, 3]
+        keys_idx: jax.Array,  # [n, K] candidate key indices (padded with n)
+        keys_valid: jax.Array,  # [n, K]
+    ) -> jax.Array:
+        n, C = feats.shape
+        h = self.num_heads
+        hd = C // h
+        L = int((2 * self.window_size + 1e-4) // self.quant_size)
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(feats)
+        q, k, v = jnp.split(qkv.reshape(n, 3, h, hd), 3, axis=1)
+        q = q[:, 0] * (hd ** -0.5)  # [n, h, hd]
+        k = k[:, 0]
+        v = v[:, 0]
+
+        safe = jnp.minimum(keys_idx, n - 1)
+        kk = k[safe]  # [n, K, h, hd]
+        vv = v[safe]
+        logits = jnp.einsum("nhd,nkhd->nhk", q, kk)  # [n, h, K]
+
+        # quantized relative-position bias (reference :190-215)
+        rel = xyz[:, None, :] - xyz[safe]  # [n, K, 3]
+        rel = jnp.round(rel * 100000) / 100000
+        ridx = jnp.floor(
+            (rel + 2 * self.window_size - 0.0001) / self.quant_size
+        ).astype(jnp.int32)
+        ridx = jnp.clip(ridx, 0, 2 * L - 1)
+        if self.rel_query:
+            tq = self.param(
+                "relative_pos_query_table",
+                nn.initializers.normal(0.02), (2 * L, h, hd, 3),
+            ).astype(self.dtype)
+            # bias_q[n,K,h] = sum_axis q[n,h,:] . tq[ridx[n,K,axis], h, :, axis]
+            per_axis = jnp.take(tq, ridx, axis=0)  # [n, K, 3->? ...]
+            # per_axis: [n, K, 3, h, hd, 3]; select matching last axis
+            per_axis = jnp.stack(
+                [per_axis[:, :, a, :, :, a] for a in range(3)], axis=2
+            )  # [n, K, 3, h, hd]
+            logits = logits + jnp.einsum(
+                "nhd,nkahd->nhk", q, per_axis.astype(self.dtype)
+            )
+        if self.rel_key:
+            tk = self.param(
+                "relative_pos_key_table",
+                nn.initializers.normal(0.02), (2 * L, h, hd, 3),
+            ).astype(self.dtype)
+            per_axis = jnp.take(tk, ridx, axis=0)
+            per_axis = jnp.stack(
+                [per_axis[:, :, a, :, :, a] for a in range(3)], axis=2
+            )
+            logits = logits + jnp.einsum(
+                "nkhd,nkahd->nhk", kk, per_axis.astype(self.dtype)
+            )
+
+        logits = jnp.where(
+            keys_valid[:, None, :], logits.astype(jnp.float32), -jnp.inf
+        )
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.where(keys_valid[:, None, :], attn, 0.0).astype(self.dtype)
+        out = jnp.einsum("nhk,nkhd->nhd", attn, vv).reshape(n, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class StratifiedBlock(nn.Module):
+    """SwinTransformerBlock (:235-263): pre-LN attention + MLP."""
+
+    dim: int
+    num_heads: int
+    window_size: float
+    quant_size: float
+    drop_path: float = 0.0
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, xyz, keys_idx, keys_valid, train: bool = False):
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(feats)
+        h = StratifiedWindowAttention(
+            self.dim, self.num_heads, self.window_size, self.quant_size,
+            dtype=self.dtype, name="attn",
+        )(h.astype(self.dtype), xyz, keys_idx, keys_valid)
+        feats = feats + DropPath(self.drop_path, name="dp1")(h, not train)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(feats)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     name="fc1")(h.astype(self.dtype))
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        return feats + DropPath(self.drop_path, name="dp2")(h, not train)
+
+
+# ---------------------------------------------------------------------------
+# KPConv stem
+# ---------------------------------------------------------------------------
+
+
+def kernel_dispositions(num_points: int = 15) -> np.ndarray:
+    """Deterministic kernel-point layout: center + Fibonacci sphere.
+
+    torch_points3d generates dispositions by repulsion optimization with
+    a fixed seed; that artifact is unavailable here, so this layout is a
+    documented stand-in with the same geometry contract (one center
+    point, the rest distributed on the unit sphere)."""
+    m = num_points - 1
+    i = np.arange(m)
+    phi = np.pi * (3.0 - np.sqrt(5.0))
+    y = 1 - 2 * (i + 0.5) / m
+    r = np.sqrt(np.maximum(0.0, 1 - y * y))
+    pts = np.stack([r * np.cos(phi * i), y, r * np.sin(phi * i)], axis=1)
+    return np.concatenate([np.zeros((1, 3)), pts], axis=0).astype(np.float32)
+
+
+class KPConv(nn.Module):
+    """Kernel-point convolution with linear influence
+    (torch_points3d KPConvLayer contract: influence =
+    max(0, 1 - ||rel - kp*extent|| / extent))."""
+
+    out_channels: int
+    extent: float  # point_influence = prev_grid_size * sigma
+    num_kpoints: int = 15
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,  # [n, 3]
+        feats: jax.Array,  # [n, C]
+        nbr_idx: jax.Array,  # [n, M]
+        nbr_valid: jax.Array,  # [n, M]
+    ) -> jax.Array:
+        n, C = feats.shape
+        kp = jnp.asarray(kernel_dispositions(self.num_kpoints)) * self.extent
+        W = self.param(
+            "weights", nn.initializers.lecun_normal(),
+            (self.num_kpoints, C, self.out_channels),
+        ).astype(self.dtype)
+
+        safe = jnp.minimum(nbr_idx, n - 1)
+        rel = xyz[safe] - xyz[:, None, :]  # [n, M, 3]
+        d = jnp.linalg.norm(
+            rel[:, :, None, :] - kp[None, None, :, :], axis=-1
+        )  # [n, M, K]
+        infl = jnp.maximum(0.0, 1.0 - d / self.extent)
+        infl = jnp.where(nbr_valid[:, :, None], infl, 0.0).astype(self.dtype)
+        fn = feats[safe].astype(self.dtype)  # [n, M, C]
+        # per kernel point: weighted neighbor sum, then channel mix
+        agg = jnp.einsum("nmk,nmc->nkc", infl, fn)  # [n, K, C]
+        return jnp.einsum("nkc,kco->no", agg, W)
+
+
+class KPConvSimpleBlock(nn.Module):
+    """(:367-382) KPConv + BN + LeakyReLU."""
+
+    out_channels: int
+    extent: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, feats, nbr_idx, nbr_valid, train: bool = False):
+        h = KPConv(self.out_channels, self.extent, dtype=self.dtype,
+                   name="kpconv")(xyz, feats, nbr_idx, nbr_valid)
+        h = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         momentum=0.98, name="bn")(h)
+        return nn.leaky_relu(h, 0.2)
+
+
+class KPConvResBlock(nn.Module):
+    """(:385-417) bottleneck KPConv residual block."""
+
+    out_channels: int
+    extent: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, feats, nbr_idx, nbr_valid, train: bool = False):
+        d2 = self.out_channels // 4
+
+        def unary(x, width, name):
+            x = nn.Dense(width, use_bias=False, dtype=self.dtype,
+                         name=f"{name}_lin")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=jnp.float32, momentum=0.98,
+                             name=f"{name}_bn")(x)
+            return nn.leaky_relu(x, 0.2)
+
+        h = unary(feats, d2, "unary_1")
+        h = KPConv(d2, self.extent, dtype=self.dtype,
+                   name="kpconv")(xyz, h, nbr_idx, nbr_valid)
+        h = unary(h, self.out_channels, "unary_2")
+        if feats.shape[-1] != self.out_channels:
+            sc = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
+                          name="shortcut_lin")(feats)
+            sc = nn.BatchNorm(use_running_average=not train,
+                              dtype=jnp.float32, momentum=0.98,
+                              name="shortcut_bn")(sc)
+        else:
+            sc = feats
+        return h + sc
+
+
+# ---------------------------------------------------------------------------
+# transitions
+# ---------------------------------------------------------------------------
+
+
+class TransitionDown(nn.Module):
+    """(:93-117): FPS + kNN group + LN -> Linear -> max."""
+
+    out_channels: int
+    k: int = 16
+    npoint: int = 0  # static per-cloud sample count
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, xyz, offsets, train: bool = False):
+        B = offsets.shape[0]
+        idx = farthest_point_sample_packed(xyz, offsets, self.npoint)
+        new_xyz = xyz[idx.reshape(-1)]
+        new_off = (jnp.arange(1, B + 1) * self.npoint).astype(offsets.dtype)
+        nbr, _ = knn_query_packed(self.k, xyz, offsets, new_xyz, new_off)
+        grouped = feats[nbr]  # [m, k, C]  (use_xyz=False, :111-112)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm")(grouped)
+        h = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
+                     name="linear")(h.astype(self.dtype))
+        return jnp.max(h, axis=1), new_xyz, new_off
+
+
+class Upsample(nn.Module):
+    """(:351-364): linear1(skip) + interp(linear2(coarse))."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, xyz, offsets, skip_feats, skip_xyz, skip_off,
+                 train: bool = False):
+        a = nn.LayerNorm(dtype=jnp.float32, name="norm1")(skip_feats)
+        a = nn.Dense(self.out_channels, dtype=self.dtype,
+                     name="linear1")(a.astype(self.dtype))
+        b = nn.LayerNorm(dtype=jnp.float32, name="norm2")(feats)
+        b = nn.Dense(self.out_channels, dtype=self.dtype,
+                     name="linear2")(b.astype(self.dtype))
+        up = interpolation_packed(xyz, offsets, skip_xyz, skip_off, b)
+        return a + up, skip_xyz, skip_off
+
+
+# ---------------------------------------------------------------------------
+# the encoder stage
+# ---------------------------------------------------------------------------
+
+
+def stratified_keys(
+    xyz: jax.Array,
+    seg: jax.Array,
+    offsets: jax.Array,
+    window: float,
+    shift: bool,
+    fine_cap: int,
+    coarse_cap: int,
+    ds_npoint: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Build each query's key set: fine-window members + downsampled
+    coarse-window members from OTHER fine windows (``get_indice_pairs``,
+    :13-45). Returns (keys_idx [n, fine_cap+coarse_cap], valid)."""
+    n = xyz.shape[0]
+    nw = int(2 ** np.ceil(np.log2(max(2, n))))  # hash capacity
+    fine = window_ids(xyz, seg, window, shift, nw)
+    coarse = window_ids(xyz, seg, 2 * window, shift, nw)
+
+    fm, fv = member_table(fine, nw, fine_cap)
+    cm, cv = member_table(coarse, nw, coarse_cap)
+
+    # downsample flags (FPS per cloud, reference :303-309)
+    ds_idx = farthest_point_sample_packed(xyz, offsets, ds_npoint)
+    is_ds = jnp.zeros((n + 1,), bool).at[ds_idx.reshape(-1)].set(True)
+
+    k1 = fm[fine]  # [n, fine_cap]
+    v1 = fv[fine] & (k1 < n)
+    k2 = cm[coarse]  # [n, coarse_cap]
+    safe2 = jnp.minimum(k2, n - 1)
+    v2 = (
+        cv[coarse]
+        & (k2 < n)
+        & is_ds[jnp.minimum(k2, n)]
+        & (fine[safe2] != fine[:, None])
+    )
+    return (
+        jnp.concatenate([k1, k2], axis=1),
+        jnp.concatenate([v1, v2], axis=1),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class StratifiedConfig:
+    """Encoder hyper-parameters (StratifiedEncoder.__init__, :422-457)."""
+
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    channels: Tuple[int, ...] = (48, 96, 192, 384)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: float = 4.0  # multiplier over patch size
+    patch_size: float = 4.0  # multiplier over grid size
+    grid_size: float = 0.04
+    quant_size: float = 0.01
+    downsample_scale: int = 4
+    drop_path_rate: float = 0.2
+    in_channels: int = 3
+    num_classes: int = 13
+    k: int = 16
+    sigma: float = 1.0
+    stem_transformer: bool = False
+    fine_cap: int = 48
+    coarse_cap: int = 24
+    stem_radius_mult: float = 2.5
+
+
+class StratifiedSeg(nn.Module):
+    """Encoder + decoder + head over batched equal-size clouds:
+    ``__call__(pts [B,N,3], feats [B,N,C]|None) -> [B, N, classes]``.
+
+    N must be divisible by downsample_scale ** num_layers.
+    """
+
+    config: StratifiedConfig = StratifiedConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pts, feats=None, train: bool = False):
+        cfg = self.config
+        B, N, _ = pts.shape
+        L = len(cfg.depths)
+        patch = cfg.grid_size * cfg.patch_size
+        windows = [patch * cfg.window_size * (2 ** i) for i in range(L)]
+        quants = [cfg.quant_size * (2 ** i) for i in range(L)]
+
+        p = pts.reshape(B * N, 3).astype(jnp.float32)
+        x = (feats if feats is not None else pts).reshape(B * N, -1)
+        x = x.astype(self.dtype)
+        offsets = (jnp.arange(1, B + 1) * N).astype(jnp.int32)
+        seg = segment_ids_from_offsets(offsets, B * N)
+
+        # --- KPConv stem over ball neighborhoods (:500-516) ---
+        radius = cfg.stem_radius_mult * cfg.grid_size * cfg.sigma
+        nbr, d2 = knn_query_packed(cfg.k, p, offsets, p, offsets)
+        nbr_valid = d2 <= radius * radius
+        extent = cfg.grid_size * cfg.sigma
+        x = KPConvSimpleBlock(cfg.channels[0], extent, dtype=self.dtype,
+                              name="stem_0")(p, x, nbr, nbr_valid, train)
+        skips = []
+        count = N
+        if not cfg.stem_transformer:
+            x = KPConvResBlock(cfg.channels[0], extent, dtype=self.dtype,
+                               name="stem_1")(p, x, nbr, nbr_valid, train)
+            skips.append((x, p, offsets))
+            count = N // cfg.downsample_scale
+            x, p, offsets = TransitionDown(
+                cfg.channels[1], cfg.k, npoint=count, dtype=self.dtype,
+                name="stem_down",
+            )(x, p, offsets, train)
+            seg = segment_ids_from_offsets(offsets, B * count)
+            layer_start = 1
+        else:
+            layer_start = 0
+
+        dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths))
+        blk_id = 0
+        for li in range(layer_start, L):
+            ch = cfg.channels[li]
+            win = windows[li]
+            ds_np = max(1, count // cfg.downsample_scale)
+            for d in range(cfg.depths[li]):
+                keys_idx, keys_valid = stratified_keys(
+                    p, seg, offsets, win, shift=(d % 2 == 1),
+                    fine_cap=cfg.fine_cap, coarse_cap=cfg.coarse_cap,
+                    ds_npoint=ds_np,
+                )
+                x = StratifiedBlock(
+                    ch, cfg.num_heads[li], win, quants[li],
+                    drop_path=float(dpr[blk_id]), dtype=self.dtype,
+                    name=f"layer{li}_blk{d}",
+                )(x, p, keys_idx, keys_valid, train)
+                blk_id += 1
+            skips.append((x, p, offsets))
+            if li < L - 1:
+                count = count // cfg.downsample_scale
+                x, p, offsets = TransitionDown(
+                    cfg.channels[li + 1], cfg.k, npoint=count,
+                    dtype=self.dtype, name=f"down{li}",
+                )(x, p, offsets, train)
+                seg = segment_ids_from_offsets(offsets, B * count)
+
+        # --- decoder (:534-557) ---
+        x, p, offsets = skips.pop()
+        for ui in range(len(skips)):
+            sk_f, sk_p, sk_o = skips.pop()
+            x, p, offsets = Upsample(
+                sk_f.shape[-1], dtype=self.dtype, name=f"up{ui}",
+            )(x, p, offsets, sk_f, sk_p, sk_o, train)
+
+        h = nn.Dense(cfg.channels[0], dtype=self.dtype, name="head_fc1")(x)
+        h = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name="head_bn")(h)
+        h = nn.relu(h)
+        h = nn.Dense(cfg.num_classes, dtype=self.dtype, name="head_fc2")(h)
+        return h.reshape(B, N, cfg.num_classes)
