@@ -117,6 +117,41 @@ def farthest_point_sample_packed(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("nsample",))
+def ball_query_packed(
+    radius: float,
+    nsample: int,
+    points: jax.Array,  # [total, 3]
+    offsets: jax.Array,  # [B]
+    queries: jax.Array,  # [Q, 3]
+    query_offsets: jax.Array,  # [B]
+) -> jax.Array:
+    """Radius query over packed clouds: first ``nsample`` in-radius
+    indices in increasing index order, padded with the first hit — the
+    framework's ball-query contract (``ops.query_ball_point``), applied
+    per segment. Equivalent of PyG's ``radius``/the reference grouper in
+    ``pointnextPyG.py:20-40``.
+    """
+    total = points.shape[0]
+    Q = queries.shape[0]
+    p_seg = segment_ids_from_offsets(offsets, total)
+    q_seg = segment_ids_from_offsets(query_offsets, Q)
+    d = _masked_sqdist(
+        queries.astype(jnp.float32), points.astype(jnp.float32), q_seg, p_seg
+    )
+    in_ball = d <= radius**2
+    arange = lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
+    masked = jnp.where(in_ball, arange, total)
+    neg_topk, _ = lax.top_k(-masked, nsample)
+    idx = -neg_topk  # ascending index order
+    first = idx[:, :1]
+    idx = jnp.where(idx == total, first, idx)
+    # zero-hit queries: clamp the sentinel to the query's OWN cloud's
+    # last index (batched query_ball_point clamps to N-1 per cloud)
+    seg_last = offsets[q_seg] - 1
+    return jnp.minimum(idx, seg_last[:, None]).astype(jnp.int32)
+
+
 def grouping_packed(
     features: jax.Array,  # [total, C]
     idx: jax.Array,  # [Q, nsample]
