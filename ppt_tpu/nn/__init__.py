@@ -17,6 +17,8 @@ from ppt_tpu.nn.graphvit import GraphVit3d, GraphVit3dConfig, PointPatchEmbed
 from ppt_tpu.nn.resnet import BasicBlock, Bottleneck, ResNetStages
 from ppt_tpu.nn.simpleview import SimpleView, SimpleViewConfig, points_to_depth_views
 from ppt_tpu.nn.baafnet import BaafNet, BaafNetConfig
+from ppt_tpu.nn.stratified import StratifiedConfig, StratifiedSeg
+from ppt_tpu.nn.pointnext_packed import PointNextPacked
 
 __all__ = [
     "LayerNormF32",
@@ -59,4 +61,7 @@ __all__ = [
     "points_to_depth_views",
     "BaafNet",
     "BaafNetConfig",
+    "StratifiedConfig",
+    "StratifiedSeg",
+    "PointNextPacked",
 ]
