@@ -434,6 +434,52 @@ def _sn55(args, split: str) -> ArrayDataset:
     return load_shapenet55(args.data_path, split, args.npoints)
 
 
+@register_dataset("s3dis")
+def _s3dis(args, split: str) -> ArrayDataset:
+    from ppt_tpu.data.scenes import load_s3dis, materialize_crops
+
+    scenes = load_s3dis(
+        args.data_path, split, test_area=getattr(args, "test_area", 5),
+        voxel_size=getattr(args, "voxel_size", 0.04),
+    )
+    return materialize_crops(
+        scenes, voxel_max=getattr(args, "voxel_max", args.npoints),
+        split=split, seed=getattr(args, "seed", 0),
+    )
+
+
+@register_dataset("scannetv2")
+def _scannet(args, split: str) -> ArrayDataset:
+    from ppt_tpu.data.scenes import load_scannetv2, materialize_crops
+
+    scenes = load_scannetv2(args.data_path, split)
+    return materialize_crops(
+        scenes, voxel_max=getattr(args, "voxel_max", args.npoints),
+        split=split, voxel_size=getattr(args, "voxel_size", 0.04),
+        seed=getattr(args, "seed", 0),
+    )
+
+
+@register_dataset("semantic_kitti")
+def _kitti(args, split: str) -> ArrayDataset:
+    from ppt_tpu.data.scenes import load_semantic_kitti, materialize_crops
+
+    scenes = load_semantic_kitti(args.data_path, split)
+    return materialize_crops(
+        scenes, voxel_max=getattr(args, "voxel_max", args.npoints),
+        split=split, voxel_size=getattr(args, "voxel_size", 0.06),
+        seed=getattr(args, "seed", 0),
+    )
+
+
+@register_dataset("matterport3d")
+def _mp40(args, split: str) -> ArrayDataset:
+    from ppt_tpu.data.scenes import load_mp40
+
+    return load_mp40(args.data_path, split, args.npoints,
+                     seed=getattr(args, "seed", 0))
+
+
 @register_dataset("synthetic")
 def _synth(args, split: str) -> ArrayDataset:
     return make_synthetic(

@@ -1,0 +1,124 @@
+"""On-device Pallas kernel golden check.
+
+Runs every production Pallas kernel COMPILED on the current accelerator
+(Mosaic, not the interpreter the CI tests use — tests/test_pallas_kernels
+passes ``interpret=True``) against the pure-XLA ops that define their
+semantics, at the PPT production shapes, and asserts exact index equality
+/ FP tolerance. The reference project golden-tests its CUDA ops the same
+way (``openpoints/models/layers/subsample.py:159-185``).
+
+Run on TPU:  python -m ppt_tpu.tools.kernel_check
+Wired into the verify recipe (.claude/skills/verify/SKILL.md); commit the
+recorded output as docs/KERNEL_CHECK_<backend>.log.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from ppt_tpu import ops
+    from ppt_tpu.kernels.chamfer import chamfer_pallas
+    from ppt_tpu.kernels.group import ball_query_gather, fps_batched, knn_gather
+    from ppt_tpu.ops.losses3d import chamfer_distance
+
+    backend = jax.default_backend()
+    print(json.dumps({"backend": backend, "device": str(jax.devices()[0])}))
+    rng = np.random.RandomState(0)
+    failures = 0
+
+    def check(name, ok, detail=""):
+        nonlocal failures
+        print(json.dumps({"kernel": name, "ok": bool(ok), "detail": detail}))
+        failures += 0 if ok else 1
+
+    B, N, G, K = 32, 1024, 512, 32
+    xyz = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+
+    # --- fps_batched vs ops.farthest_point_sample (exact indices) ---
+    got = np.asarray(jax.jit(
+        lambda x: fps_batched(x, G)
+    )(xyz))
+    want = np.asarray(jax.jit(
+        lambda x: ops.farthest_point_sample(x, G, force_xla=True)
+    )(xyz)) if "force_xla" in ops.farthest_point_sample.__code__.co_varnames \
+        else None
+    if want is None:
+        # fall back: XLA formulation inline (same recurrence, start 0)
+        def xla_fps(x):
+            import jax.lax as lax
+            Bn, Nn, _ = x.shape
+            def body(i, st):
+                dist, far, out = st
+                out = lax.dynamic_update_index_in_dim(out, far, i, axis=1)
+                c = jnp.take_along_axis(x, far[:, None, None], axis=1)
+                d = jnp.sum((x - c) ** 2, -1)
+                dist = jnp.minimum(dist, d)
+                return dist, jnp.argmax(dist, 1).astype(jnp.int32), out
+            init = (jnp.full((Bn, Nn), 1e10), jnp.zeros((Bn,), jnp.int32),
+                    jnp.zeros((Bn, G), jnp.int32))
+            return lax.fori_loop(0, G, body, init)[2]
+        want = np.asarray(jax.jit(xla_fps)(xyz))
+    check("fps_batched", np.array_equal(got, want),
+          f"{(got != want).sum()} index mismatches")
+
+    center = jnp.asarray(
+        np.take_along_axis(np.asarray(xyz), want[..., None], axis=1)
+    )
+
+    # --- knn_gather vs knn_point + index_points (exact indices) ---
+    idx_k, nbr_k = jax.jit(lambda x, c: knn_gather(K, x, c))(xyz, center)
+    want_idx = np.asarray(jax.jit(
+        lambda x, c: ops.knn_point(K, x, c)
+    )(xyz, center))
+    got_idx = np.asarray(idx_k)
+    same_set = np.array_equal(np.sort(got_idx, -1), np.sort(want_idx, -1))
+    check("knn_gather.idx", same_set,
+          f"{(np.sort(got_idx, -1) != np.sort(want_idx, -1)).sum()} set mismatches")
+    want_nbr = np.asarray(
+        jax.jit(lambda x, c, i: ops.index_points(x, i) - c[:, :, None, :])(
+            xyz, center, idx_k
+        )
+    )
+    err = float(np.max(np.abs(np.asarray(nbr_k) - want_nbr)))
+    check("knn_gather.nbr", err < 1e-5, f"max abs err {err:.2e}")
+
+    # --- ball_query_gather vs ops.query_ball_point (exact indices) ---
+    radius = 0.2
+    idx_b, grp_b = jax.jit(
+        lambda x, c: ball_query_gather(radius, K, x, c)
+    )(xyz, center)
+    want_b = np.asarray(jax.jit(
+        lambda x, c: ops.query_ball_point(radius, K, x, c)
+    )(xyz, center))
+    check("ball_query_gather.idx", np.array_equal(np.asarray(idx_b), want_b),
+          f"{(np.asarray(idx_b) != want_b).sum()} index mismatches")
+    want_g = np.asarray(
+        jax.jit(lambda x, c, i: ops.index_points(x, i) - c[:, :, None, :])(
+            xyz, center, idx_b
+        )
+    )
+    err = float(np.max(np.abs(np.asarray(grp_b) - want_g)))
+    check("ball_query_gather.grouped", err < 1e-5, f"max abs err {err:.2e}")
+
+    # --- chamfer_pallas vs XLA chamfer at recon scale ---
+    a = jnp.asarray(rng.rand(8, 2048, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(8, 2048, 3).astype(np.float32))
+    got_c = float(jax.jit(chamfer_pallas)(a, b))
+    want_c = float(jax.jit(chamfer_distance)(a, b))
+    rel = abs(got_c - want_c) / max(abs(want_c), 1e-9)
+    check("chamfer_pallas", rel < 1e-4, f"rel err {rel:.2e}")
+
+    print(json.dumps({"failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
