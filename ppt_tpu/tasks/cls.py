@@ -34,6 +34,7 @@ from ppt_tpu.prompt import build_prompt_spec
 from ppt_tpu.tasks.args import TaskArgs
 from ppt_tpu.train import (
     create_train_state,
+    make_cached_text_eval,
     make_eval_step,
     make_train_step,
 )
@@ -149,9 +150,20 @@ def validate(
 ) -> Dict[str, float]:
     """Eval loop; ``votes > 1`` averages logits over randomly scaled/
     shifted copies of each batch (the openpoints voting-eval protocol,
-    ``examples/classification/train.py`` --vote)."""
+    ``examples/classification/train.py`` --vote).
+
+    ``eval_fn`` may be either the plain jitted step or the
+    (embed_fn, step_fn) pair from ``make_cached_text_eval`` — with the
+    pair the text tower runs once for the whole pass instead of once per
+    batch (the embeddings are constant while the state is fixed).
+    """
     loader = Loader(test_ds, batch_size=args.batch_size, shuffle=False)
     vote_key = jax.random.PRNGKey(args.seed + 7)
+    text_embed = None
+    if isinstance(eval_fn, tuple):
+        embed_fn, step_fn = eval_fn
+        text_embed = embed_fn(state, prompts)
+        eval_fn = lambda st, b, pr: step_fn(st, b, text_embed)
     preds, labels = [], []
     for batch in loader:
         valid = batch.pop("valid")
@@ -193,7 +205,7 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
             model, optimizer, smoothing=args.label_smoothing
         )
     step_fn = make_train_step(model, optimizer, smoothing=args.label_smoothing)
-    eval_fn = make_eval_step(model)
+    eval_fn = make_cached_text_eval(model)
     loader = Loader(
         train_ds, batch_size=args.batch_size, shuffle=True, drop_last=True,
         seed=args.seed,
@@ -295,7 +307,7 @@ def main(args: TaskArgs) -> Dict[str, float]:
     if args.evaluate_3d:
         if args.test_ckpt_addr:
             ctx["state"] = load_checkpoint(args.test_ckpt_addr, ctx["state"])
-        eval_fn = make_eval_step(ctx["model"])
+        eval_fn = make_cached_text_eval(ctx["model"])
         val = validate(
             ctx["state"], eval_fn, ctx["test_ds"], ctx["prompts"], args,
             ctx["mesh"],

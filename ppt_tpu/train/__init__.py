@@ -4,6 +4,7 @@ from ppt_tpu.train.trainer import (
     create_train_state,
     make_train_step,
     make_train_multi_step,
+    make_cached_text_eval,
     make_eval_step,
     partition_params,
     merge_params,
@@ -15,6 +16,7 @@ __all__ = [
     "create_train_state",
     "make_train_step",
     "make_train_multi_step",
+    "make_cached_text_eval",
     "make_eval_step",
     "partition_params",
     "merge_params",
