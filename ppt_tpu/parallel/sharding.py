@@ -26,22 +26,44 @@ from flax import traverse_util
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# Exact module-name rules (matched on path COMPONENTS, not substrings —
+# a rename of an unrelated module can't silently change the layout).
+# Column-parallel shards the output dim; its paired row-parallel module
+# shards the input dim so GSPMD places one all-reduce per block.
+_COLUMN_PARALLEL = {
+    "in_proj": None,  # CLIP text attention fused qkv (any parent)
+    "qkv": "attn",  # ViT attention, only under an attn module
+    "c_fc": None,  # CLIP MLP up-projection
+    "fc1": "mlp",  # ViT MLP up-projection, only inside mlp blocks
+}
+_ROW_PARALLEL = {
+    "out_proj": None,
+    "proj": "attn",  # ViT attention output proj only (NOT pc/text proj)
+    "c_proj": None,
+    "fc2": "mlp",
+}
+
+
+def _matches(rules: Dict[str, Any], module: str, parent: str) -> bool:
+    want_parent = rules.get(module, "missing")
+    if want_parent == "missing":
+        return False
+    return want_parent is None or parent == want_parent
+
+
 def ulip_param_spec(path: Tuple[str, ...], leaf) -> P:
     """PartitionSpec for one parameter leaf under ('data', 'model')."""
     name = path[-1]
-    joined = "/".join(path)
-    if name != "kernel" and name != "embedding":
+    if name == "embedding" and leaf.ndim == 2:
+        return P(None, "model")  # token embedding: feature dim sharded
+    if name != "kernel" or leaf.ndim != 2:
         return P()  # biases, norms, scalars, prompt tokens: replicated
-    if leaf.ndim != 2:
-        return P()
-    # column-parallel (output dim sharded)
-    if any(tag in joined for tag in ("in_proj", "qkv", "c_fc", "mlp/fc1")):
+    module = path[-2] if len(path) >= 2 else ""
+    parent = path[-3] if len(path) >= 3 else ""
+    if _matches(_COLUMN_PARALLEL, module, parent):
         return P(None, "model")
-    # row-parallel (input dim sharded; GSPMD adds the all-reduce)
-    if any(tag in joined for tag in ("out_proj", "attn/proj", "c_proj", "mlp/fc2")):
+    if _matches(_ROW_PARALLEL, module, parent):
         return P("model", None)
-    if name == "embedding":
-        return P(None, "model")
     return P()
 
 

@@ -136,3 +136,62 @@ class TestTraining:
         assert not np.allclose(np.asarray(out), np.asarray(pc))
         out_h = train_augment(jax.random.PRNGKey(0), pc, use_height=True)
         assert out_h.shape == (*pc.shape[:2], 4)
+
+
+class TestShardingRules:
+    """ulip_param_spec: exact-component matching (not substrings)."""
+
+    def test_transformer_kernels_shard(self):
+        import numpy as np
+        from jax.sharding import PartitionSpec as P
+        from ppt_tpu.parallel.sharding import ulip_param_spec
+
+        k = np.zeros((8, 8))
+        # column-parallel
+        assert ulip_param_spec(("text", "block_0", "attn", "in_proj", "kernel"), k) == P(None, "model")
+        assert ulip_param_spec(("point_encoder", "block_3", "attn", "qkv", "kernel"), k) == P(None, "model")
+        assert ulip_param_spec(("text", "block_0", "c_fc", "kernel"), k) == P(None, "model")
+        assert ulip_param_spec(("point_encoder", "block_3", "mlp", "fc1", "kernel"), k) == P(None, "model")
+        # row-parallel
+        assert ulip_param_spec(("point_encoder", "block_3", "attn", "proj", "kernel"), k) == P("model", None)
+        assert ulip_param_spec(("point_encoder", "block_3", "mlp", "fc2", "kernel"), k) == P("model", None)
+
+    def test_non_transformer_modules_replicate(self):
+        import numpy as np
+        from jax.sharding import PartitionSpec as P
+        from ppt_tpu.parallel.sharding import ulip_param_spec
+
+        k = np.zeros((8, 8))
+        # 'proj' outside attention (e.g. a pc projection Dense) replicates
+        assert ulip_param_spec(("some_head", "proj", "kernel"), k) == P()
+        # 'fc1'/'fc2' outside an mlp block (classifier heads) replicate
+        assert ulip_param_spec(("head", "fc1", "kernel"), k) == P()
+        assert ulip_param_spec(("head", "fc2", "kernel"), k) == P()
+        # scalars / biases / 1-d params replicate
+        assert ulip_param_spec(("logit_scale",), np.zeros(())) == P()
+        assert ulip_param_spec(("text", "block_0", "attn", "qkv", "bias"), np.zeros(8)) == P()
+
+    def test_flagship_tree_pairing(self):
+        """Over the real flagship tree: every sharded kernel belongs to a
+        transformer block, and column/row counts pair up per block."""
+        import numpy as np
+        from flax import traverse_util
+        from jax.sharding import PartitionSpec as P
+        import jax
+        from __graft_entry__ import _flagship
+        from ppt_tpu.parallel.sharding import ulip_param_spec
+
+        model, prompts = _flagship(tiny=True)
+        pts = jnp.asarray(np.zeros((2, 64, 3), np.float32))
+        variables = model.init(jax.random.PRNGKey(0), pts, prompts)
+        flat = traverse_util.flatten_dict(variables["params"])
+        col = row = 0
+        for path, leaf in flat.items():
+            spec = ulip_param_spec(path, leaf)
+            if spec == P(None, "model") and path[-1] == "kernel":
+                col += 1
+                assert any(p.startswith("block_") for p in path), path
+            elif spec == P("model", None):
+                row += 1
+                assert any(p.startswith("block_") for p in path), path
+        assert col > 0 and col == row  # one reduce partner per up-proj
