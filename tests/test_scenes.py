@@ -177,3 +177,49 @@ def test_mp40_loader(tmp_path, rng):
     # normalized to the unit sphere
     norms = np.linalg.norm(ds.points, axis=-1)
     assert norms.max() <= 1.0 + 1e-5
+
+
+# ---------------------------------------------------------------------------
+# chromatic transforms
+# ---------------------------------------------------------------------------
+
+
+def test_hsv_roundtrip_matches_colorsys(rng):
+    import colorsys
+
+    from ppt_tpu.data.chromatic import hsv_to_rgb, rgb_to_hsv
+
+    rgb = rng.randint(0, 256, (50, 3)).astype(np.float32)
+    hsv = rgb_to_hsv(rgb)
+    for i in range(50):
+        h, s, v = colorsys.rgb_to_hsv(*(rgb[i] / 255.0))
+        np.testing.assert_allclose(hsv[i, 0], h, atol=1e-6)
+        np.testing.assert_allclose(hsv[i, 1], s, atol=1e-6)
+        np.testing.assert_allclose(hsv[i, 2], rgb[i].max(), atol=1e-6)
+    back = hsv_to_rgb(hsv)
+    # uint8 rounding: reference floors, so within 1
+    assert np.max(np.abs(back.astype(int) - rgb.astype(int))) <= 1
+
+
+def test_chromatic_transforms_ranges(rng):
+    from ppt_tpu.data import chromatic as C
+
+    feat = rng.rand(100, 6).astype(np.float32) * 255
+    r = np.random.RandomState(0)
+    for fn in (
+        lambda f: C.chromatic_auto_contrast(f, r, p=1.0),
+        lambda f: C.chromatic_translation(f, r, p=1.0),
+        lambda f: C.chromatic_jitter(f, r, p=1.0),
+        lambda f: C.hue_saturation_translation(f, r),
+    ):
+        out = fn(feat)
+        assert out.shape == feat.shape
+        assert out[:, :3].min() >= 0 and out[:, :3].max() <= 255
+        assert not np.allclose(out[:, :3], feat[:, :3])  # it did something
+        np.testing.assert_array_equal(out[:, 3:], feat[:, 3:])  # extra chans kept
+
+    dropped = C.random_drop_feature(feat, np.random.RandomState(1), p=1.0)
+    assert (dropped[:, 0:3] == 0).all()
+
+    norm = C.chromatic_normalize(feat, [0.5, 0.5, 0.5], [0.7, 0.7, 0.7])
+    assert norm[:, :3].max() <= (1 - 0.5) / 0.7 + 1e-5
