@@ -339,17 +339,26 @@ class PointTransformerSeg(nn.Module):
         # ---- encoder ----
         skips = []
         counts = N
+        nsamples = []
         for lvl in range(len(cfg.blocks)):
             stride = cfg.strides[lvl]
+            prev = counts
             counts = counts // stride
+            # static per-level clamp: at small N the deepest levels hold
+            # fewer points per cloud than the configured nsample (the
+            # reference only ever runs at scene scale where this never
+            # binds); kNN with k > population is undefined
+            ns_down = min(cfg.nsample[lvl], prev)
+            ns = min(cfg.nsample[lvl], counts)
+            nsamples.append(ns)
             p, x, o = TransitionDown(
-                planes[lvl], stride, cfg.nsample[lvl],
+                planes[lvl], stride, ns_down,
                 npoint=counts if stride != 1 else None,
                 dtype=self.dtype, name=f"enc{lvl + 1}_0",
             )(p, x, o, train)
             for j in range(1, cfg.blocks[lvl]):
                 x = block_cls(
-                    planes[lvl], cfg.share_planes, cfg.nsample[lvl],
+                    planes[lvl], cfg.share_planes, ns,
                     mid_res=cfg.mid_res, dtype=self.dtype,
                     name=f"enc{lvl + 1}_{j}",
                 )(p, x, o, train)
@@ -362,7 +371,7 @@ class PointTransformerSeg(nn.Module):
                          name=f"dec{n_lvl}_0")(p5, x5, o5, train=train)
         if cfg.dec_local_aggr:
             x = block_cls(
-                planes[-1], cfg.share_planes, cfg.nsample[-1],
+                planes[-1], cfg.share_planes, nsamples[-1],
                 mid_res=cfg.mid_res, dtype=self.dtype, name=f"dec{n_lvl}_1",
             )(p5, x, o5, train)
         coarse = (p5, x, o5)
@@ -376,7 +385,7 @@ class PointTransformerSeg(nn.Module):
             )(pl, xl, ol, pc, xc, oc, train)
             if cfg.dec_local_aggr:
                 x = block_cls(
-                    planes[lvl], cfg.share_planes, cfg.nsample[lvl],
+                    planes[lvl], cfg.share_planes, nsamples[lvl],
                     mid_res=cfg.mid_res, dtype=self.dtype,
                     name=f"dec{lvl + 1}_1",
                 )(pl, x, ol, train)

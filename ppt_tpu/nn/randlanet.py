@@ -201,8 +201,11 @@ class RandLANet(nn.Module):
         skips = []
         counts = [N // d**i for i in range(n_lvl + 1)]
         for i, w in enumerate(cfg.widths):
+            # static clamp: at small N the deep levels hold fewer points
+            # than num_neighbors (reference scenes are 10^4-10^5 points)
+            k_eff = min(cfg.num_neighbors, counts[i])
             x = LocalFeatureAggregation(
-                w, cfg.num_neighbors, dtype=self.dtype, name=f"encoder_{i}"
+                w, k_eff, dtype=self.dtype, name=f"encoder_{i}"
             )(coords[:, : counts[i]], x, train)
             skips.append(x)
             x = x[:, : counts[i + 1]]

@@ -223,3 +223,30 @@ def test_chromatic_transforms_ranges(rng):
 
     norm = C.chromatic_normalize(feat, [0.5, 0.5, 0.5], [0.7, 0.7, 0.7])
     assert norm[:, :3].max() <= (1 - 0.5) / 0.7 + 1e-5
+
+
+# ---------------------------------------------------------------------------
+# molecules (atom3d transform; OGB gates)
+# ---------------------------------------------------------------------------
+
+
+def test_atoms_to_points_onehot():
+    from ppt_tpu.data.molecules import PROT_ATOMS, atoms_to_points
+
+    xyz = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    sample = atoms_to_points(xyz, ["C", "ZN", "XX"], 0.73)
+    assert sample["pos"].shape == (3, 3)
+    assert sample["features"].shape == (3, 18)
+    assert sample["features"][0, PROT_ATOMS.index("C")] == 1
+    assert sample["features"][1, PROT_ATOMS.index("ZN")] == 1
+    # unknown element maps to the LAST bucket (psr.py:12-14)
+    assert sample["features"][2, -1] == 1
+    assert sample["features"].sum() == 3
+    assert np.isclose(sample["label"], 0.73)
+
+
+def test_ogb_graph_gate_is_explicit():
+    from ppt_tpu.data.molecules import load_ogb_graphs
+
+    with pytest.raises(ImportError, match="ogb"):
+        load_ogb_graphs("molhiv")
