@@ -14,6 +14,7 @@ publishes no training-throughput number for PPT itself.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -22,7 +23,17 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--k", type=int, default=10, help="steps per dispatch")
+    ap.add_argument("--prng", default=None, choices=[None, "rbg", "unsafe_rbg"],
+                    help="override the PRNG impl (threefry is the default)")
+    flags = ap.parse_args()
+
     import jax
+
+    if flags.prng:
+        jax.config.update("jax_default_prng_impl", flags.prng)
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship
@@ -34,7 +45,7 @@ def main():
     )
     from ppt_tpu.train.trainer import make_optimizer
 
-    B, N, K = 32, 1024, 10  # K steps per dispatch (lax.scan)
+    B, N, K = flags.batch, 1024, flags.k  # K steps per dispatch (lax.scan)
     model, prompts = _flagship()
     rng = np.random.RandomState(0)
     # DISTINCT batch per step — nothing is loop-invariant in the scan

@@ -119,15 +119,19 @@ class MiniPointNet(nn.Module):
     def __call__(self, groups: jax.Array, train: bool = False) -> jax.Array:
         # groups: [B, G, M, 3] -> [B, G, out_dim]
         x = nn.Dense(128, dtype=self.dtype, name="conv1a")(groups)
+        # BN output in compute dtype: flax computes the statistics in
+        # fp32 regardless (linen _compute_stats promotes), but a fp32
+        # OUTPUT would materialize the [B,G,M,128/512] activations at
+        # 2x width — ~0.5 GB of extra HBM traffic per step at PPT-Base
         x = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name="bn1"
+            use_running_average=not train, dtype=self.dtype, name="bn1"
         )(x)
         x = nn.relu(x)
         x = nn.Dense(256, dtype=self.dtype, name="conv1b")(x)  # [B,G,M,256]
         g = jnp.max(x, axis=2)  # [B,G,256]
         x = _SplitDense(512, dtype=self.dtype, name="conv2a")(g, x)
         x = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name="bn2"
+            use_running_average=not train, dtype=self.dtype, name="bn2"
         )(x)
         x = nn.relu(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="conv2b")(x)
@@ -178,10 +182,13 @@ class VitBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         C = x.shape[-1]
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        # LN stats are fp32 inside flax either way; emitting the
+        # normalized tokens in compute dtype halves 24 LN outputs' HBM
+        # traffic per step (text-tower LNs stay fp32 — parity quirk)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = VitAttention(self.num_heads, dtype=self.dtype, name="attn")(h)
         x = x + DropPath(self.drop_path, name="dp1")(h, deterministic)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = MlpBlock(
             int(C * self.mlp_ratio), dtype=self.dtype, name="mlp"
         )(h, deterministic)

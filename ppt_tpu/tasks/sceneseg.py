@@ -223,6 +223,11 @@ def train_loop(args) -> Dict[str, float]:
             keep = labels >= 0
             cm.update(preds[keep], labels[keep])
         miou = cm.miou
+        if getattr(args, "cm_out", None):
+            np.savez(
+                args.cm_out, matrix=cm.matrix,
+                classnames=np.asarray(train_ds.classnames, dtype=object),
+            )
         best_miou = max(best_miou, miou)
         log.info("epoch %d loss %.4f mIoU %.2f OA %.2f", epoch,
                  float(np.mean(losses)), miou, cm.overall_accuracy)

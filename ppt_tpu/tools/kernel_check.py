@@ -27,7 +27,7 @@ def main() -> int:
     from ppt_tpu import ops
     from ppt_tpu.kernels.chamfer import chamfer_pallas
     from ppt_tpu.kernels.group import ball_query_gather, fps_batched, knn_gather
-    from ppt_tpu.ops.losses3d import chamfer_distance
+    from ppt_tpu.ops.losses3d import chamfer_l2
 
     backend = jax.default_backend()
     print(json.dumps({"backend": backend, "device": str(jax.devices()[0])}))
@@ -112,7 +112,7 @@ def main() -> int:
     a = jnp.asarray(rng.rand(8, 2048, 3).astype(np.float32))
     b = jnp.asarray(rng.rand(8, 2048, 3).astype(np.float32))
     got_c = float(jax.jit(chamfer_pallas)(a, b))
-    want_c = float(jax.jit(chamfer_distance)(a, b))
+    want_c = float(jax.jit(chamfer_l2)(a, b))
     rel = abs(got_c - want_c) / max(abs(want_c), 1e-9)
     check("chamfer_pallas", rel < 1e-4, f"rel err {rel:.2e}")
 

@@ -192,6 +192,47 @@ def main():
                    v, pr, method=lambda m, pr: m.encode_text(pr)),
                    params_bs, prompts))
 
+    # --- MiniPointNet alone (the [B,G,M,*] shared-MLP stage) ---------------
+    if want("mini"):
+        from ppt_tpu.nn.pointbert import MiniPointNet
+
+        mini = MiniPointNet(256, dtype=model.dtype)
+        nbrs = jnp.asarray(
+            rng.rand(B, 512, 32, 3).astype(np.float32)
+        )
+        mini_vars = mini.init(jax.random.PRNGKey(0), nbrs[:2])
+        nbrs_k = jnp.asarray(rng.rand(K, B, 512, 32, 3).astype(np.float32))
+        fn = lambda v, x: mini.apply(v, x)
+        report("mini", chain_time(fn, (mini_vars,), nbrs_k, K),
+               flops_of(fn, mini_vars, nbrs))
+
+    # --- 12 ViT blocks alone (tokens + per-block pos add) -------------------
+    if want("vit"):
+        from ppt_tpu.nn.pointbert import VitBlock
+
+        class _Trunk:
+            pass
+
+        from flax import linen as fnn
+
+        class Trunk(fnn.Module):
+            dtype: object = model.dtype
+
+            @fnn.compact
+            def __call__(self, x, pos):
+                for i in range(12):
+                    x = VitBlock(6, dtype=self.dtype, name=f"block_{i}")(x + pos)
+                return x
+
+        trunk = Trunk()
+        toks = jnp.asarray(rng.rand(B, 513, 384).astype(np.float32))
+        pos = jnp.asarray(rng.rand(B, 513, 384).astype(np.float32))
+        tvars = trunk.init(jax.random.PRNGKey(0), toks[:2], pos[:2])
+        toks_k = jnp.asarray(rng.rand(K, B, 513, 384).astype(np.float32))
+        fn = lambda v, p, x: trunk.apply(v, x, p)
+        report("vit", chain_time(fn, (tvars, pos), toks_k, K),
+               flops_of(lambda v, x, p: trunk.apply(v, x, p), tvars, toks, pos))
+
     # --- value_and_grad (no optimizer) --------------------------------------
     if want("grad"):
         from ppt_tpu.models.losses import smoothed_cross_entropy

@@ -55,3 +55,27 @@ def test_sceneseg_randlanet_end_to_end(tmp_path, rng):
     _fixture(str(tmp_path), rng)
     out = train_loop(_Args(data_path=str(tmp_path), model="randlanet"))
     assert np.isfinite(out["history"][0]["loss"])
+
+
+def test_s3dis_6fold_aggregation(tmp_path, rng):
+    from ppt_tpu.tools.s3dis_6fold import aggregate
+    from ppt_tpu.utils.metrics import ConfusionMatrix
+
+    # two folds whose union is known
+    cm_all = ConfusionMatrix(3)
+    paths = []
+    for fold in range(2):
+        preds = rng.randint(0, 3, 500)
+        labels = rng.randint(0, 3, 500)
+        cm = ConfusionMatrix(3)
+        cm.update(preds, labels)
+        cm_all.update(preds, labels)
+        p = tmp_path / f"fold{fold}.npz"
+        np.savez(p, matrix=cm.matrix,
+                 classnames=np.asarray(["a", "b", "c"], dtype=object))
+        paths.append(str(p))
+    out = aggregate(paths)
+    assert out["folds"] == 2
+    assert out["miou"] == round(cm_all.miou, 2)
+    assert out["overall_accuracy"] == round(cm_all.overall_accuracy, 2)
+    assert out["classnames"] == ["a", "b", "c"]
