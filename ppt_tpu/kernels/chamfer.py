@@ -30,27 +30,32 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _nn_dist_kernel(m_valid: int, blk: int, q_ref, x_ref, out_ref):
-    """q_ref: [1, S_blk, 3]; x_ref: [1, 3, Mpad] (full support set);
-    out_ref: [1, S_blk] f32 — min squared distance per query row."""
-    s_blk = q_ref.shape[1]
+    """q_ref: [R, S_blk, 3]; x_ref: [R, 3, Mpad] (full support set);
+    out_ref: [R, S_blk] f32 — min squared distance per query row.
+
+    R batch rows per block so the OUTPUT block is [R>=8, S_blk] — Mosaic
+    requires the last two block dims to be (8, 128)-divisible (the
+    interpreter accepted [1, S_blk]; the hardware lowering does not —
+    caught by tools/kernel_check on the real chip)."""
+    rows, s_blk, _ = q_ref.shape
     m_pad = x_ref.shape[2]
-    qx = q_ref[0, :, 0:1]
-    qy = q_ref[0, :, 1:2]
-    qz = q_ref[0, :, 2:3]
+    qx = q_ref[:, :, 0:1]  # [R, S_blk, 1]
+    qy = q_ref[:, :, 1:2]
+    qz = q_ref[:, :, 2:3]
 
     def body(c, running):
         sl = pl.ds(c * blk, blk)
-        xs = x_ref[0, 0:1, sl]
-        ys = x_ref[0, 1:2, sl]
-        zs = x_ref[0, 2:3, sl]
-        lane = lax.broadcasted_iota(jnp.int32, (s_blk, blk), 1) + c * blk
+        xs = x_ref[:, 0:1, sl]  # [R, 1, blk]
+        ys = x_ref[:, 1:2, sl]
+        zs = x_ref[:, 2:3, sl]
+        lane = lax.broadcasted_iota(jnp.int32, (rows, s_blk, blk), 2) + c * blk
         d = (qx - xs) ** 2 + (qy - ys) ** 2 + (qz - zs) ** 2
         d = jnp.where(lane < m_valid, d, jnp.inf)
-        return jnp.minimum(running, jnp.min(d, axis=1))
+        return jnp.minimum(running, jnp.min(d, axis=2))
 
     n_blocks = m_pad // blk
-    running = jnp.full((s_blk,), jnp.inf, dtype=jnp.float32)
-    out_ref[0, :] = lax.fori_loop(0, n_blocks, body, running)
+    running = jnp.full((rows, s_blk), jnp.inf, dtype=jnp.float32)
+    out_ref[:, :] = lax.fori_loop(0, n_blocks, body, running)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -60,23 +65,30 @@ def _nn_dists(q: jax.Array, x: jax.Array, *, interpret: bool = False) -> jax.Arr
     M = x.shape[1]
     s_blk = 128 if N % 128 == 0 else 8
     assert N % s_blk == 0, f"N={N} must be a multiple of 8"
+    rows = min(8, B) if B % 8 == 0 or B < 8 else 8
+    b_pad = _round_up(B, rows)
     blk = 512
     m_pad = _round_up(M, blk)
+    qf = q.astype(jnp.float32)
     x_t = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
     if m_pad != M:
         x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, m_pad - M)))
+    if b_pad != B:
+        qf = jnp.pad(qf, ((0, b_pad - B), (0, 0), (0, 0)))
+        x_t = jnp.pad(x_t, ((0, b_pad - B), (0, 0), (0, 0)))
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_nn_dist_kernel, M, blk),
-        grid=(B, N // s_blk),
+        grid=(b_pad // rows, N // s_blk),
         in_specs=[
-            pl.BlockSpec((1, s_blk, 3), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, m_pad), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, s_blk, 3), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 3, m_pad), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, s_blk), lambda b, s: (b, s), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        out_specs=pl.BlockSpec((rows, s_blk), lambda b, s: (b, s), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, N), jnp.float32),
         interpret=interpret,
-    )(q.astype(jnp.float32), x_t)
+    )(qf, x_t)
+    return out[:B]
 
 
 @jax.custom_vjp

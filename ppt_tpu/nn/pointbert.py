@@ -58,9 +58,13 @@ def group_points(
     512x32) — the gathered neighborhood comes out of the kNN kernel's
     VMEM tiles instead of a separate HBM gather.
     """
+    import os
+
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
+        on_tpu = False
+    if os.environ.get("PPT_FORCE_XLA_GROUP"):  # A/B escape hatch
         on_tpu = False
     if on_tpu and num_group % 8 == 0:
         from ppt_tpu.kernels.group import fused_group

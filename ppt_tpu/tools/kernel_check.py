@@ -42,30 +42,29 @@ def main() -> int:
     B, N, G, K = 32, 1024, 512, 32
     xyz = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
 
-    # --- fps_batched vs ops.farthest_point_sample (exact indices) ---
-    got = np.asarray(jax.jit(
-        lambda x: fps_batched(x, G)
-    )(xyz))
-    want = np.asarray(jax.jit(
-        lambda x: ops.farthest_point_sample(x, G, force_xla=True)
-    )(xyz)) if "force_xla" in ops.farthest_point_sample.__code__.co_varnames \
-        else None
-    if want is None:
-        # fall back: XLA formulation inline (same recurrence, start 0)
-        def xla_fps(x):
-            import jax.lax as lax
-            Bn, Nn, _ = x.shape
-            def body(i, st):
-                dist, far, out = st
-                out = lax.dynamic_update_index_in_dim(out, far, i, axis=1)
-                c = jnp.take_along_axis(x, far[:, None, None], axis=1)
-                d = jnp.sum((x - c) ** 2, -1)
-                dist = jnp.minimum(dist, d)
-                return dist, jnp.argmax(dist, 1).astype(jnp.int32), out
-            init = (jnp.full((Bn, Nn), 1e10), jnp.zeros((Bn,), jnp.int32),
-                    jnp.zeros((Bn, G), jnp.int32))
-            return lax.fori_loop(0, G, body, init)[2]
-        want = np.asarray(jax.jit(xla_fps)(xyz))
+    # --- fps_batched vs the XLA FPS recurrence (exact indices) ---
+    # (ops.farthest_point_sample dispatches to the kernel on TPU, so the
+    # golden reference is the inline XLA formulation, same recurrence,
+    # start index 0 — identical to the CPU interpreter tests' oracle)
+    got = np.asarray(jax.jit(lambda x: fps_batched(x, G))(xyz))
+
+    def xla_fps(x):
+        import jax.lax as lax
+        Bn, Nn, _ = x.shape
+
+        def body(i, st):
+            dist, far, out = st
+            out = lax.dynamic_update_index_in_dim(out, far, i, axis=1)
+            c = jnp.take_along_axis(x, far[:, None, None], axis=1)
+            d = jnp.sum((x - c) ** 2, -1)
+            dist = jnp.minimum(dist, d)
+            return dist, jnp.argmax(dist, 1).astype(jnp.int32), out
+
+        init = (jnp.full((Bn, Nn), 1e10), jnp.zeros((Bn,), jnp.int32),
+                jnp.zeros((Bn, G), jnp.int32))
+        return lax.fori_loop(0, G, body, init)[2]
+
+    want = np.asarray(jax.jit(xla_fps)(xyz))
     check("fps_batched", np.array_equal(got, want),
           f"{(got != want).sum()} index mismatches")
 
@@ -73,15 +72,36 @@ def main() -> int:
         np.take_along_axis(np.asarray(xyz), want[..., None], axis=1)
     )
 
-    # --- knn_gather vs knn_point + index_points (exact indices) ---
+    # --- knn_gather vs knn_point + index_points ---
+    # Index sets may differ at fp TIES: the kernel uses exact coordinate
+    # differences, the XLA path a matmul-form distance (values within
+    # ~1e-6). A mismatch only counts as a failure if the DISTANCES of
+    # the differing picks are not equal within tolerance.
     idx_k, nbr_k = jax.jit(lambda x, c: knn_gather(K, x, c))(xyz, center)
     want_idx = np.asarray(jax.jit(
         lambda x, c: ops.knn_point(K, x, c)
     )(xyz, center))
     got_idx = np.asarray(idx_k)
-    same_set = np.array_equal(np.sort(got_idx, -1), np.sort(want_idx, -1))
-    check("knn_gather.idx", same_set,
-          f"{(np.sort(got_idx, -1) != np.sort(want_idx, -1)).sum()} set mismatches")
+    got_sorted = np.sort(got_idx, -1)
+    want_sorted = np.sort(want_idx, -1)
+    mismatch = got_sorted != want_sorted
+    n_mismatch = int(mismatch.sum())
+    if n_mismatch:
+        xyz_np = np.asarray(xyz)
+        cen_np = np.asarray(center)
+        bb, qq, _ = np.nonzero(mismatch)
+        worst = 0.0
+        for b, qidx in zip(bb, qq):
+            c = cen_np[b, qidx]
+            dg = np.sort(((xyz_np[b, got_idx[b, qidx]] - c) ** 2).sum(-1))
+            dw = np.sort(((xyz_np[b, want_idx[b, qidx]] - c) ** 2).sum(-1))
+            worst = max(worst, float(np.max(np.abs(dg - dw))))
+        check("knn_gather.idx", worst < 1e-5,
+              f"{n_mismatch} set mismatches, all fp ties (max dist delta "
+              f"{worst:.2e})" if worst < 1e-5 else
+              f"{n_mismatch} REAL mismatches (max dist delta {worst:.2e})")
+    else:
+        check("knn_gather.idx", True, "exact")
     want_nbr = np.asarray(
         jax.jit(lambda x, c, i: ops.index_points(x, i) - c[:, :, None, :])(
             xyz, center, idx_k
