@@ -40,6 +40,49 @@ def _round_up(x: int, m: int) -> int:
 FLASH_MIN_SEQ = 1024
 
 
+def chunked_mha(
+    q: jax.Array,  # [B, L, H, Dh]
+    k: jax.Array,
+    v: jax.Array,
+    chunk: int = 128,
+) -> jax.Array:
+    """Online-softmax attention over KV chunks in pure XLA.
+
+    Flash-attention's traffic shape without a Mosaic kernel: the
+    [B, H, L, L] score tensor never fully materializes — each unrolled
+    chunk produces [B, H, L, chunk] scores that XLA can fuse, with the
+    running (max, denom, accumulator) carried in registers/VMEM. A
+    candidate replacement for the einsum path at PPT's L=513 where the
+    real flash kernel measured slower (head dim 64, pad-to-512 waste).
+    """
+    B, L, H, Dh = q.shape
+    scale = 1.0 / math.sqrt(Dh)
+    Lp = _round_up(L, chunk)
+    pad = Lp - L
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else k
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else v
+
+    m = jnp.full((B, H, L), -jnp.inf, jnp.float32)
+    l = jnp.zeros((B, H, L), jnp.float32)
+    acc = jnp.zeros((B, L, H, Dh), jnp.float32)
+    for c in range(Lp // chunk):
+        kc = kp[:, c * chunk : (c + 1) * chunk]
+        vc = vp[:, c * chunk : (c + 1) * chunk]
+        s = jnp.einsum("blhd,bchd->bhlc", q, kc).astype(jnp.float32) * scale
+        if pad and c == Lp // chunk - 1:
+            valid = jnp.arange(c * chunk, (c + 1) * chunk) < L
+            s = jnp.where(valid[None, None, None, :], s, -jnp.inf)
+        m2 = jnp.maximum(m, s.max(-1))
+        p = jnp.exp(s - m2[..., None])
+        corr = jnp.exp(m - m2)
+        l = l * corr + p.sum(-1)
+        pv = jnp.einsum("bhlc,bchd->blhd", p.astype(v.dtype), vc)
+        acc = acc * jnp.swapaxes(corr, 1, 2)[..., None] + pv
+        m = m2
+    out = acc / jnp.swapaxes(l, 1, 2)[..., None]
+    return out.astype(q.dtype)
+
+
 def flash_mha(
     q: jax.Array,  # [B, L, H, Dh]
     k: jax.Array,

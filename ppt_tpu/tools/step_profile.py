@@ -233,6 +233,54 @@ def main():
         report("vit", chain_time(fn, (tvars, pos), toks_k, K),
                flops_of(lambda v, x, p: trunk.apply(v, x, p), tvars, toks, pos))
 
+    # --- attention variants at the exact ViT shape --------------------------
+    if want("attn"):
+        from ppt_tpu.kernels.attention import chunked_mha
+
+        L, h, hd = 513, 6, 64
+        qkv = jnp.asarray(
+            rng.rand(3, B, L, h, hd).astype(np.float32)
+        ).astype(model.dtype)
+        q0, k0, v0 = qkv[0], qkv[1], qkv[2]
+        qs = jnp.asarray(rng.rand(K, B, L, h, hd).astype(np.float32)).astype(
+            model.dtype
+        )
+
+        def einsum_attn(k, v, q):
+            scale = 1.0 / (hd ** 0.5)
+            s = jnp.einsum("blhd,bmhd->bhlm", q, k) * scale
+            p = jax.nn.softmax(s, axis=-1)
+            return jnp.einsum("bhlm,bmhd->blhd", p, v)
+
+        report("attn_einsum", chain_time(einsum_attn, (k0, v0), qs, K))
+        report("attn_chunked",
+               chain_time(lambda k, v, q: chunked_mha(q, k, v), (k0, v0), qs, K))
+
+    # --- tokenization path: grouping + MiniPointNet + reduce + pos ---------
+    if want("embed"):
+        from flax import linen as fnn
+
+        from ppt_tpu.nn.pointbert import MiniPointNet, group_points
+
+        class Embed(fnn.Module):
+            dtype: object = model.dtype
+
+            @fnn.compact
+            def __call__(self, pc):
+                nbr, center = group_points(pc, 512, 32)
+                toks = MiniPointNet(256, dtype=self.dtype, name="enc")(nbr)
+                toks = fnn.Dense(384, dtype=self.dtype, name="reduce")(toks)
+                pos = fnn.Dense(128, dtype=self.dtype, name="p1")(center)
+                pos = fnn.gelu(pos)
+                pos = fnn.Dense(384, dtype=self.dtype, name="p2")(pos)
+                return toks, pos
+
+        emb = Embed()
+        evars = emb.init(jax.random.PRNGKey(0), pc[:2])
+        fn = lambda v, x: emb.apply(v, x)
+        report("embed", chain_time(fn, (evars,), pcs_k, K),
+               flops_of(fn, evars, pc))
+
     # --- value_and_grad (no optimizer) --------------------------------------
     if want("grad"):
         from ppt_tpu.models.losses import smoothed_cross_entropy
