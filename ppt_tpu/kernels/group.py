@@ -195,13 +195,140 @@ def knn_gather(
     return idx, neighborhood
 
 
+def _ball_query_kernel_v2(
+    nsample: int, radius: float, n_valid: int, relative: bool,
+    q_ref, xyz_ref, xyz_nl_ref, idx_ref, nx_ref, ny_ref, nz_ref, dist_ref,
+):
+    """Ball query + gather via rank matmuls — no per-slot extraction.
+
+    MEASURED AND NOT SHIPPED: exact on-chip (kernel_check: 0 index
+    mismatches) but SLOWER than the v1 extraction loop at PointNeXt
+    shapes (27.1 vs 17.2 ms for one stage at B=128, S=512, N=1024) —
+    the [S_blk*nsample, chunk] @ [chunk, 4] selection GEMMs emit only 4
+    output lanes, so the MXU runs at ~1/32 utilization and the rank
+    bookkeeping costs more than the 32 extraction passes it replaces.
+    Kept as the documented alternative; ``ball_query_gather`` dispatches
+    to v1.
+
+    The v1 kernel ran ``nsample`` sequential min-extraction passes over
+    the [S_blk, N] mask (32 passes dominated PointNeXt-S inference:
+    15.3 ms for one stage at B=128). This formulation needs ONE pass
+    over N in 128-lane chunks:
+
+      rank  = running_count + (mask @ U)        (U = upper-triangular
+              ones: inclusive cumsum as an MXU matmul)
+      P[q, s, j] = mask & (rank == s+1)          (one-hot selection)
+      out  += reshape(P) @ [lane, x, y, z]       (selection matmul —
+              indices AND gathered coordinates in the same GEMM; index
+              arithmetic is exact in f32 below 2^24)
+
+    Same contract as before: first ``nsample`` in-radius indices in
+    ascending order, short rows padded with the first hit, zero-hit
+    rows clamp to index n_valid-1 (gathering that point's coordinates).
+
+    q_ref: [1, S_blk, 3]; xyz_ref: [1, 3, Npad]; xyz_nl_ref:
+    [1, Npad, 3] (same coordinates n-on-sublanes, so the [chunk, 4]
+    selection-matmul RHS slices out without an in-kernel transpose);
+    idx/nx/ny/nz_ref: [1, S_blk, nsample]; dist_ref: unused scratch
+    (kept for wrapper signature compatibility with v1).
+    """
+    s_blk = q_ref.shape[1]
+    n_pad = xyz_ref.shape[2]
+    chunk = 128
+    r2 = radius * radius
+
+    qx = q_ref[0, :, 0:1]
+    qy = q_ref[0, :, 1:2]
+    qz = q_ref[0, :, 2:3]
+
+    # inclusive-cumsum operator over a 128 chunk
+    tri = (
+        lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        <= lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    ).astype(jnp.float32)
+    # int iota then cast: Mosaic's tpu.iota only produces integer vectors
+    slot = lax.broadcasted_iota(
+        jnp.int32, (s_blk, nsample, chunk), dimension=1
+    ).astype(jnp.float32)
+    lane_chunk = lax.broadcasted_iota(jnp.int32, (s_blk, chunk), dimension=1)
+
+    def body(c, carry):
+        count, acc = carry  # [S_blk, 1], [S_blk*nsample, 4]
+        sl = pl.ds(c * chunk, chunk)
+        # distances computed per chunk — the full [S_blk, Npad] tile and
+        # its broadcast temporaries would push scoped VMEM past 16 MB at
+        # PointNeXt shapes (S_blk=128, N=1024)
+        xs_c = xyz_ref[0, 0:1, sl]
+        ys_c = xyz_ref[0, 1:2, sl]
+        zs_c = xyz_ref[0, 2:3, sl]
+        d = (qx - xs_c) ** 2 + (qy - ys_c) ** 2 + (qz - zs_c) ** 2
+        m = (
+            (d <= r2) & (lane_chunk + c * chunk < n_valid)
+        ).astype(jnp.float32)  # [S_blk, chunk] 0/1
+        csum = jax.lax.dot(
+            m, tri, precision=lax.Precision.HIGHEST
+        )  # inclusive ranks within the chunk
+        rank = count + csum
+        sel = (
+            (rank[:, None, :] == slot + 1.0) & (m[:, None, :] > 0.5)
+        ).astype(jnp.float32)  # [S_blk, nsample, chunk]
+        lane_c = (
+            lax.broadcasted_iota(jnp.int32, (chunk, 1), 0).astype(jnp.float32)
+            + c * chunk
+        )
+        vals = jnp.concatenate(
+            [lane_c, xyz_nl_ref[0, sl, :]], axis=1
+        )  # [chunk, 4] = (lane, x, y, z)
+        contrib = jax.lax.dot(
+            sel.reshape(s_blk * nsample, chunk), vals,
+            precision=lax.Precision.HIGHEST,
+        )
+        return count + csum[:, chunk - 1 : chunk], acc + contrib
+
+    count0 = jnp.zeros((s_blk, 1), jnp.float32)
+    acc0 = jnp.zeros((s_blk * nsample, 4), jnp.float32)
+    count, acc = lax.fori_loop(0, n_pad // chunk, body, (count0, acc0))
+
+    acc = acc.reshape(s_blk, nsample, 4)
+    idx = acc[:, :, 0]
+    gx = acc[:, :, 1]
+    gy = acc[:, :, 2]
+    gz = acc[:, :, 3]
+
+    # pad short rows with the first hit; zero-hit rows clamp to the last
+    # valid support point (reference contract, pointnet2_utils.py:119-139)
+    has = slot[:, :, 0] < count  # [S_blk, nsample]
+    any_hit = count > 0.5  # [S_blk, 1]
+    last_x = xyz_ref[0, 0, n_valid - 1]
+    last_y = xyz_ref[0, 1, n_valid - 1]
+    last_z = xyz_ref[0, 2, n_valid - 1]
+    first_idx = jnp.where(any_hit, idx[:, 0:1], float(n_valid - 1))
+    first_x = jnp.where(any_hit, gx[:, 0:1], last_x)
+    first_y = jnp.where(any_hit, gy[:, 0:1], last_y)
+    first_z = jnp.where(any_hit, gz[:, 0:1], last_z)
+    idx = jnp.where(has, idx, first_idx)
+    gx = jnp.where(has, gx, first_x)
+    gy = jnp.where(has, gy, first_y)
+    gz = jnp.where(has, gz, first_z)
+
+    idx_ref[0, :, :] = idx.astype(jnp.int32)
+    if relative:
+        nx_ref[0, :, :] = gx - qx
+        ny_ref[0, :, :] = gy - qy
+        nz_ref[0, :, :] = gz - qz
+    else:
+        nx_ref[0, :, :] = gx
+        ny_ref[0, :, :] = gy
+        nz_ref[0, :, :] = gz
+
+
 def _ball_query_kernel(
     nsample: int, radius: float, n_valid: int, relative: bool,
-    q_ref, xyz_ref, idx_ref, nx_ref, ny_ref, nz_ref, dist_ref,
+    q_ref, xyz_ref, xyz_nl_ref, idx_ref, nx_ref, ny_ref, nz_ref, dist_ref,
 ):
-    """Ball query with reference semantics (first ``nsample`` in-radius
-    points in increasing index order, padded with the first hit;
-    zero-hit queries clamp to N-1) + fused coordinate gather.
+    """v1 extraction-pass ball query — the SHIPPED kernel (the
+    rank-matmul v2 above measured slower; ``xyz_nl_ref`` is v2's extra
+    input layout, unused here).
 
     q_ref: [1, S_blk, 3]; xyz_ref: [1, 3, Npad];
     idx/nx/ny/nz_ref: [1, S_blk, nsample]; dist_ref: [S_blk, Npad]
@@ -295,6 +422,7 @@ def ball_query_gather(
         in_specs=[
             pl.BlockSpec((1, s_blk, 3), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, n_pad), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 3), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         out_shape=(
@@ -303,7 +431,7 @@ def ball_query_gather(
         ),
         scratch_shapes=[pltpu.VMEM((s_blk, n_pad), jnp.float32)],
         interpret=interpret,
-    )(new_xyz.astype(jnp.float32), xyz_t)
+    )(new_xyz.astype(jnp.float32), xyz_t, jnp.swapaxes(xyz_t, 1, 2))
     grouped = jnp.stack([nx, ny, nz], axis=-1)
     return idx, grouped
 
