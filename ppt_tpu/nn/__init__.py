@@ -19,6 +19,7 @@ from ppt_tpu.nn.simpleview import SimpleView, SimpleViewConfig, points_to_depth_
 from ppt_tpu.nn.baafnet import BaafNet, BaafNetConfig
 from ppt_tpu.nn.stratified import StratifiedConfig, StratifiedSeg
 from ppt_tpu.nn.pointnext_packed import PointNextPacked
+from ppt_tpu.nn.vitseg import PointVitSeg, PointVitSegConfig
 
 __all__ = [
     "LayerNormF32",
@@ -64,4 +65,6 @@ __all__ = [
     "StratifiedConfig",
     "StratifiedSeg",
     "PointNextPacked",
+    "PointVitSeg",
+    "PointVitSegConfig",
 ]

@@ -56,3 +56,28 @@ def test_graphvit_cls_feat(rng):
     feat = model.apply(variables, pts, method=GraphVit3d.cls_feat)
     assert feat.shape == (2, 96)  # [cls, max-pool] concat
     assert np.isfinite(np.asarray(feat)).all()
+
+
+def test_pointvitseg_shapes_and_train(rng):
+    from ppt_tpu.nn import GraphVit3dConfig, PointVitSeg, PointVitSegConfig
+
+    cfg = PointVitSegConfig(
+        num_classes=5,
+        encoder=GraphVit3dConfig(encoder_dim=48, depth=2, num_heads=4,
+                                 num_groups=16, group_size=8, embed_dim=32),
+        num_points=(256, 64),
+        fp_width=32,
+    )
+    model = PointVitSeg(cfg)
+    pts = jnp.asarray(rng.rand(2, 512, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), pts)
+    out = jax.jit(lambda v, p: model.apply(v, p))(variables, pts)
+    assert out.shape == (2, 512, 5)
+    assert np.isfinite(np.asarray(out)).all()
+    out2, mutated = model.apply(
+        variables, pts, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1),
+              "droppath": jax.random.PRNGKey(2)},
+    )
+    assert out2.shape == (2, 512, 5)
+    assert jax.tree.leaves(mutated["batch_stats"])
