@@ -127,3 +127,45 @@ class TestBallQueryGather:
             0.01, 4, jnp.asarray(xyz), jnp.asarray(q), interpret=True
         )
         np.testing.assert_array_equal(np.asarray(idx), 127)
+
+    def test_v2_rank_matmul_matches_v1(self, rng):
+        """The measured-and-not-shipped rank-matmul formulation
+        (_ball_query_kernel_v2 — exact on-chip but slower, see
+        docs/PROFILE_r02.md) stays pinned against the shipped v1."""
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ppt_tpu.kernels import group as G
+
+        B, N, S, K_, radius = 2, 256, 16, 8, 0.3
+        xyz = rng.rand(B, N, 3).astype(np.float32)
+        q = rng.rand(B, S, 3).astype(np.float32)
+        want_idx, want_grp = G.ball_query_gather(
+            radius, K_, jnp.asarray(xyz), jnp.asarray(q), interpret=True
+        )
+
+        xyz_t = jnp.swapaxes(jnp.asarray(xyz), 1, 2)
+        out_spec = pl.BlockSpec((1, S, K_), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        fshape = jax.ShapeDtypeStruct((B, S, K_), jnp.float32)
+        idx, nx, ny, nz = pl.pallas_call(
+            functools.partial(G._ball_query_kernel_v2, K_, radius, N, True),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(out_spec, out_spec, out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct((B, S, K_), jnp.int32),
+                       fshape, fshape, fshape),
+            scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
+            interpret=True,
+        )(jnp.asarray(q), xyz_t, jnp.swapaxes(xyz_t, 1, 2))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+        got_grp = np.stack([np.asarray(nx), np.asarray(ny), np.asarray(nz)], -1)
+        np.testing.assert_allclose(got_grp, np.asarray(want_grp), rtol=1e-5, atol=1e-6)
