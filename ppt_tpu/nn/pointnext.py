@@ -51,6 +51,26 @@ class PointNextConfig:
             out.append(w)
         return tuple(out)
 
+    @classmethod
+    def b(cls) -> "PointNextConfig":
+        """PointNeXt-B (``cfgs/s3dis/pointnext-b.yaml``: blocks
+        [1,2,3,2,2], strides [1,4,4,4,4], 1-layer SA, no SA residual,
+        radius 0.1)."""
+        return cls(blocks=(1, 2, 3, 2, 2), strides=(1, 4, 4, 4, 4),
+                   sa_layers=1, sa_use_res=False, radius=0.1)
+
+    @classmethod
+    def l(cls) -> "PointNextConfig":
+        """PointNeXt-L (``cfgs/s3dis/pointnext-l.yaml``)."""
+        return cls(blocks=(1, 3, 5, 3, 3), strides=(1, 4, 4, 4, 4),
+                   sa_layers=1, sa_use_res=False, radius=0.1)
+
+    @classmethod
+    def xl(cls) -> "PointNextConfig":
+        """PointNeXt-XL (``cfgs/s3dis/pointnext-xl.yaml``: width 64)."""
+        return cls(blocks=(1, 4, 7, 4, 4), strides=(1, 4, 4, 4, 4),
+                   sa_layers=1, sa_use_res=False, width=64, radius=0.1)
+
     def stage_radii(self) -> Tuple[float, ...]:
         """First-block radius per stage (``_to_full_list``,
         pointnext.py:400-408); with blocks=[1]* only the first matters."""
@@ -107,6 +127,8 @@ class SetAbstractionNext(nn.Module):
     ) -> Tuple[jax.Array, jax.Array]:
         B, N, _ = xyz.shape
         npoint = N // self.stride
+        # static clamp for tiny inputs (scene-scale N never binds this)
+        nsample = min(self.nsample, N)
         fps_idx = ops.farthest_point_sample(xyz, npoint)
         new_xyz = ops.index_points(xyz, fps_idx)
         try:
@@ -117,11 +139,11 @@ class SetAbstractionNext(nn.Module):
             from ppt_tpu.kernels.group import ball_query_gather
 
             idx, rel = ball_query_gather(
-                float(self.radius), self.nsample, xyz, new_xyz, relative=True
+                float(self.radius), nsample, xyz, new_xyz, relative=True
             )
             dp = rel.astype(xyz.dtype) / self.radius  # normalize_dp
         else:
-            idx = ops.query_ball_point(self.radius, self.nsample, xyz, new_xyz)
+            idx = ops.query_ball_point(self.radius, nsample, xyz, new_xyz)
             dp = (
                 ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
             ) / self.radius  # normalize_dp (group.py:250-253)
@@ -186,7 +208,9 @@ class InvResMLP(nn.Module):
     ) -> jax.Array:
         identity = feats
         # local aggregation: ball-query around every point, 1-layer MLP
-        idx = ops.query_ball_point(self.radius, self.nsample, xyz, xyz)
+        idx = ops.query_ball_point(
+            self.radius, min(self.nsample, xyz.shape[1]), xyz, xyz
+        )
         dp = (ops.index_points(xyz, idx) - xyz[:, :, None, :]) / self.radius
         fj = ops.index_points(feats, idx)
         x = jnp.concatenate([dp.astype(self.dtype), fj], axis=-1)
@@ -242,6 +266,12 @@ class PointNext(nn.Module):
                         ch, r, cfg.nsample, cfg.expansion,
                         dtype=self.dtype, name=f"stage{i}_block{j}",
                     )(xyz, feats, train)
+
+        # The B/L/XL plans (strides [1,4,4,4,4]) are seg encoders without
+        # a group-all tail — global-max the surviving points for the cls
+        # readout (the openpoints cls wrapper pools the same way)
+        if feats.ndim == 3:
+            feats = jnp.max(feats, axis=1)
 
         # ClsHead (num_classes=-1): 512 -> 512 -> 256 with BN/ReLU/dropout
         # (linear bias omitted when BN follows, as in create_linearblock)

@@ -279,3 +279,23 @@ def test_split_dense_equals_concat_dense(rng):
     concat = np.concatenate([tiled, np.asarray(l)], axis=-1)
     want = concat @ kernel + bias
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pointnext_scaled_variants(rng):
+    """B/L/XL plans (InvResMLP depth blocks engaged) build and run."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ppt_tpu.nn import PointNext, PointNextConfig
+
+    pc = jnp.asarray(rng.rand(2, 256, 4).astype(np.float32))
+    for cfg in (PointNextConfig.b(), PointNextConfig.l()):
+        small = dataclasses.replace(cfg, width=8)
+        model = PointNext(small)
+        variables = model.init(jax.random.PRNGKey(0), pc)
+        out = model.apply(variables, pc)
+        assert out.shape == (2, 256)
+        assert np.isfinite(np.asarray(out)).all()
+    assert PointNextConfig.xl().width == 64
