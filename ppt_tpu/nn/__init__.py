@@ -20,6 +20,7 @@ from ppt_tpu.nn.baafnet import BaafNet, BaafNetConfig
 from ppt_tpu.nn.stratified import StratifiedConfig, StratifiedSeg
 from ppt_tpu.nn.pointnext_packed import PointNextPacked
 from ppt_tpu.nn.vitseg import PointVitSeg, PointVitSegConfig
+from ppt_tpu.nn.assa import Assa
 
 __all__ = [
     "LayerNormF32",
@@ -67,4 +68,5 @@ __all__ = [
     "PointNextPacked",
     "PointVitSeg",
     "PointVitSegConfig",
+    "Assa",
 ]
