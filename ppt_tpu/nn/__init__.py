@@ -21,6 +21,7 @@ from ppt_tpu.nn.stratified import StratifiedConfig, StratifiedSeg
 from ppt_tpu.nn.pointnext_packed import PointNextPacked
 from ppt_tpu.nn.vitseg import PointVitSeg, PointVitSegConfig
 from ppt_tpu.nn.assa import Assa
+from ppt_tpu.nn.mae import MaeConfig, MaskedPointMAE, random_patch_masking
 
 __all__ = [
     "LayerNormF32",
@@ -69,4 +70,7 @@ __all__ = [
     "PointVitSeg",
     "PointVitSegConfig",
     "Assa",
+    "MaeConfig",
+    "MaskedPointMAE",
+    "random_patch_masking",
 ]
