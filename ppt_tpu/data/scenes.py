@@ -393,7 +393,11 @@ def load_mp40(
         p = p / np.sqrt((p**2).sum(1)).max()
         pts.append(p)
         labels.append(int(d["label"]))
-    classnames = [f"class {i}" for i in range(max(labels) + 1)] if labels else []
+    # Fixed 40-way class count (Matterport-40): deriving it from
+    # max(labels)+1 of THIS split would misalign logits/confusion-matrix
+    # shapes across splits whenever a split lacks the highest class id.
+    num_classes = max(40, max(labels) + 1) if labels else 40
+    classnames = [f"class {i}" for i in range(num_classes)]
     return ArrayDataset(
         points=np.stack(pts),
         labels=np.asarray(labels, np.int32),

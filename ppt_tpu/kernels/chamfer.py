@@ -65,7 +65,11 @@ def _nn_dists(q: jax.Array, x: jax.Array, *, interpret: bool = False) -> jax.Arr
     M = x.shape[1]
     s_blk = 128 if N % 128 == 0 else 8
     assert N % s_blk == 0, f"N={N} must be a multiple of 8"
-    rows = min(8, B) if B % 8 == 0 or B < 8 else 8
+    # Always 8 batch rows per block: the hardware lowering rejects output
+    # blocks with sublane dim < 8, so small batches (B < 8) must PAD the
+    # batch dim rather than shrink the block (the padded rows compute
+    # garbage mins and are sliced off below).
+    rows = 8
     b_pad = _round_up(B, rows)
     blk = 512
     m_pad = _round_up(M, blk)
