@@ -34,6 +34,40 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bf16x3_parts(x: jax.Array) -> jax.Array:
+    """Exact 3-way bf16 decomposition along the last axis.
+
+    ``[..., C] f32 -> [..., 3C] bf16`` with columns ``[hi | mid | lo]``
+    such that ``hi + mid + lo == x`` EXACTLY (f32 has a 24-bit mantissa;
+    each rounding residual fits the next 8-bit bf16 mantissa, and the
+    final residual is exactly representable). Lets the in-kernel one-hot
+    gather run as a SINGLE bf16 MXU pass with f32 accumulation —
+    products ``1.0 * part`` are exact — instead of a 6-pass HIGHEST f32
+    matmul (measured ~2 us vs ~0.3 us per [256,1024]x[1024,128] pass).
+
+    NOTE: the split is computed with mantissa bit-masks, not
+    ``astype(bf16)`` round-trips — the fleet runs XLA with
+    ``--xla_allow_excess_precision=true``, which elides f32->bf16->f32
+    cast chains and silently turns the residuals into zeros (caught
+    on-chip by kernel_check; interpret mode honored the casts).
+    """
+
+    def trunc16(v):
+        bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            bits & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+
+    hi = trunc16(x)          # top 16 bits: exactly a bf16 value
+    r1 = x - hi              # exact: <= 16 significant bits remain
+    mid = trunc16(r1)
+    lo = r1 - mid            # exact: <= 8 significant bits remain
+    return jnp.concatenate(
+        [hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+         lo.astype(jnp.bfloat16)], axis=-1
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batched FPS: 8 clouds per instance, batch on sublanes
 # ---------------------------------------------------------------------------
@@ -107,10 +141,21 @@ def fps_batched(
 
 def _knn_gather_kernel(
     k: int, n_valid: int, relative: bool,
-    q_ref, xyz_ref, idx_ref, nx_ref, ny_ref, nz_ref, dist_ref,
+    q_ref, xyz_ref, parts_ref, idx_ref, nx_ref, ny_ref, nz_ref, dist_ref,
 ):
-    """q_ref: [1, S_blk, 3]; xyz_ref: [1, 3, Npad];
-    idx/nx/ny/nz_ref: [1, S_blk, k]; dist_ref: [S_blk, Npad] scratch."""
+    """q_ref: [1, S_blk, 3]; xyz_ref: [1, 3, Npad]; parts_ref:
+    [1, Npad, 9] bf16 (``_bf16x3_parts`` of the n-on-sublanes
+    coordinates — the gather-matmul RHS);
+    idx/nx/ny/nz_ref: [1, S_blk, k]; dist_ref: [S_blk, Npad] scratch.
+
+    Each extraction pass gathers the winner's coordinates with ONE
+    single-pass bf16 one-hot matmul ``sel @ [Npad, 9]`` (f32
+    accumulation) on the otherwise-idle MXU instead of three masked
+    broadcast+reduce VPU passes. Exact: ``sel`` rows are one-hot, the
+    products ``1.0 * part`` are exact bf16 values accumulated in f32,
+    and ``hi + mid + lo`` reconstructs every f32 coordinate bit
+    (verified on-chip by ``tools/kernel_check``).
+    """
     s_blk = q_ref.shape[1]
     n_pad = xyz_ref.shape[2]
     lane = lax.broadcasted_iota(jnp.int32, (s_blk, n_pad), dimension=1)
@@ -125,26 +170,53 @@ def _knn_gather_kernel(
 
     d = (qx - xs) ** 2 + (qy - ys) ** 2 + (qz - zs) ** 2
     dist_ref[:, :] = jnp.where(valid, d, jnp.inf)
+    support = parts_ref[0]  # [Npad, 9] bf16
 
-    for j in range(k):
+    # fori_loop (not a Python unroll): the selection matmul materializes
+    # a [S_blk, Npad] `sel` per pass, and an unrolled loop keeps all
+    # k of them live on the Mosaic stack (28 MB > the 16 MB scoped-VMEM
+    # limit at k=32). Outputs accumulate into the carry via one-hot
+    # column masks (exact: index/coord values times 0/1), written once
+    # at the end — also sidesteps dynamic-lane-offset stores.
+    lane_k = lax.broadcasted_iota(jnp.int32, (s_blk, k), dimension=1)
+
+    def body(j, carry):
+        acc_i, acc_x, acc_y, acc_z = carry
         running = dist_ref[:, :]
         m = jnp.min(running, axis=1, keepdims=True)
-        is_min = running == m
-        idx = jnp.min(jnp.where(is_min, lane, n_pad), axis=1, keepdims=True)
+        # tie-break to the lowest index (reference knn_point contract)
+        idx = jnp.min(
+            jnp.where(running == m, lane, n_pad), axis=1, keepdims=True
+        )
         sel = lane == idx
-        gx = jnp.sum(jnp.where(sel, jnp.broadcast_to(xs, sel.shape), 0.0), axis=1, keepdims=True)
-        gy = jnp.sum(jnp.where(sel, jnp.broadcast_to(ys, sel.shape), 0.0), axis=1, keepdims=True)
-        gz = jnp.sum(jnp.where(sel, jnp.broadcast_to(zs, sel.shape), 0.0), axis=1, keepdims=True)
-        idx_ref[0, :, j : j + 1] = idx.astype(jnp.int32)
-        if relative:
-            nx_ref[0, :, j : j + 1] = gx - qx
-            ny_ref[0, :, j : j + 1] = gy - qy
-            nz_ref[0, :, j : j + 1] = gz - qz
-        else:
-            nx_ref[0, :, j : j + 1] = gx
-            ny_ref[0, :, j : j + 1] = gy
-            nz_ref[0, :, j : j + 1] = gz
+        g9 = lax.dot_general(
+            sel.astype(jnp.bfloat16), support,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S_blk, 9] — one bf16 MXU pass
+        g = g9[:, 0:3] + g9[:, 3:6] + g9[:, 6:9]  # exact f32 coords
+        oh = (lane_k == j).astype(jnp.float32)  # [S_blk, k]
         dist_ref[:, :] = jnp.where(sel, jnp.inf, running)
+        return (
+            acc_i + idx.astype(jnp.float32) * oh,
+            acc_x + g[:, 0:1] * oh,
+            acc_y + g[:, 1:2] * oh,
+            acc_z + g[:, 2:3] * oh,
+        )
+
+    zero = jnp.zeros((s_blk, k), jnp.float32)
+    acc_i, acc_x, acc_y, acc_z = lax.fori_loop(
+        0, k, body, (zero, zero, zero, zero)
+    )
+    idx_ref[0, :, :] = acc_i.astype(jnp.int32)
+    if relative:
+        nx_ref[0, :, :] = acc_x - qx
+        ny_ref[0, :, :] = acc_y - qy
+        nz_ref[0, :, :] = acc_z - qz
+    else:
+        nx_ref[0, :, :] = acc_x
+        ny_ref[0, :, :] = acc_y
+        nz_ref[0, :, :] = acc_z
 
 
 @functools.partial(jax.jit, static_argnames=("k", "relative", "interpret"))
@@ -182,6 +254,7 @@ def knn_gather(
         in_specs=[
             pl.BlockSpec((1, s_blk, 3), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, n_pad), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 9), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         out_shape=(
@@ -190,7 +263,10 @@ def knn_gather(
         ),
         scratch_shapes=[pltpu.VMEM((s_blk, n_pad), jnp.float32)],
         interpret=interpret,
-    )(new_xyz.astype(jnp.float32), xyz_t)
+    )(
+        new_xyz.astype(jnp.float32), xyz_t,
+        _bf16x3_parts(jnp.swapaxes(xyz_t, 1, 2)),
+    )
     neighborhood = jnp.stack([nx, ny, nz], axis=-1)  # [B, S, k, 3]
     return idx, neighborhood
 
@@ -227,8 +303,9 @@ def _ball_query_kernel_v2(
     rows clamp to index n_valid-1 (gathering that point's coordinates).
 
     q_ref: [1, S_blk, 3]; xyz_ref: [1, 3, Npad]; xyz_nl_ref:
-    [1, Npad, 3] (same coordinates n-on-sublanes, so the [chunk, 4]
-    selection-matmul RHS slices out without an in-kernel transpose);
+    [1, Npad, 9] (``_bf16x3_parts`` of the n-on-sublanes coordinates —
+    reconstructed to f32 here so the [chunk, 4] selection-matmul RHS
+    slices out without an in-kernel transpose);
     idx/nx/ny/nz_ref: [1, S_blk, nsample]; dist_ref: unused scratch
     (kept for wrapper signature compatibility with v1).
     """
@@ -276,8 +353,9 @@ def _ball_query_kernel_v2(
             lax.broadcasted_iota(jnp.int32, (chunk, 1), 0).astype(jnp.float32)
             + c * chunk
         )
+        p9 = xyz_nl_ref[0, sl, :].astype(jnp.float32)  # [chunk, 9] parts
         vals = jnp.concatenate(
-            [lane_c, xyz_nl_ref[0, sl, :]], axis=1
+            [lane_c, p9[:, 0:3] + p9[:, 3:6] + p9[:, 6:9]], axis=1
         )  # [chunk, 4] = (lane, x, y, z)
         contrib = jax.lax.dot(
             sel.reshape(s_blk * nsample, chunk), vals,
@@ -327,8 +405,15 @@ def _ball_query_kernel(
     q_ref, xyz_ref, xyz_nl_ref, idx_ref, nx_ref, ny_ref, nz_ref, dist_ref,
 ):
     """v1 extraction-pass ball query — the SHIPPED kernel (the
-    rank-matmul v2 above measured slower; ``xyz_nl_ref`` is v2's extra
-    input layout, unused here).
+    rank-matmul v2 above measured slower).
+
+    Like ``_knn_gather_kernel``, each pass gathers the winner's
+    coordinates with one one-hot selection matmul against
+    ``xyz_nl_ref`` ([Npad, 3], n-on-sublanes) on the otherwise-idle MXU
+    — and because ``idx`` is already first-hit-substituted before
+    ``sel`` is built, the not-found fallback coordinates come out of the
+    same matmul (the old per-coordinate ``where(found, ...)`` repairs
+    were redundant). ~11 -> ~5 full-tile VPU ops per pass.
 
     q_ref: [1, S_blk, 3]; xyz_ref: [1, 3, Npad];
     idx/nx/ny/nz_ref: [1, S_blk, nsample]; dist_ref: [S_blk, Npad]
@@ -349,41 +434,54 @@ def _ball_query_kernel(
     d = (qx - xs) ** 2 + (qy - ys) ** 2 + (qz - zs) ** 2
     in_ball = (d <= radius * radius) & valid
     dist_ref[:, :] = in_ball.astype(jnp.float32)
+    support = xyz_nl_ref[0]  # [Npad, 9] bf16 parts
 
-    first = None
-    fx = fy = fz = None
-    for j in range(nsample):
+    # fori_loop + one-hot output accumulation for the same scoped-VMEM
+    # reason as _knn_gather_kernel. `first` (the pad-with-first-hit
+    # index) rides the carry; j == 0 initializes it in-loop.
+    lane_k = lax.broadcasted_iota(jnp.int32, (s_blk, nsample), dimension=1)
+
+    def body(j, carry):
+        first, acc_i, acc_x, acc_y, acc_z = carry
         mask = dist_ref[:, :] > 0.5
         cand = jnp.min(
             jnp.where(mask, lane, n_pad), axis=1, keepdims=True
         )  # [S_blk, 1], n_pad if exhausted
         found = cand < n_pad
-        if j == 0:
-            # reference pads with the first hit; all-empty queries clamp
-            first = jnp.where(found, cand, n_valid - 1)
-            idx = first
-        else:
-            idx = jnp.where(found, cand, first)
+        # reference pads with the first hit; all-empty queries clamp
+        first = jnp.where(j == 0, jnp.where(found, cand, n_valid - 1), first)
+        idx = jnp.where(found, cand, first)
         sel = lane == idx
-        gx = jnp.sum(jnp.where(sel, jnp.broadcast_to(xs, sel.shape), 0.0), axis=1, keepdims=True)
-        gy = jnp.sum(jnp.where(sel, jnp.broadcast_to(ys, sel.shape), 0.0), axis=1, keepdims=True)
-        gz = jnp.sum(jnp.where(sel, jnp.broadcast_to(zs, sel.shape), 0.0), axis=1, keepdims=True)
-        if j == 0:
-            fx, fy, fz = gx, gy, gz
-        else:
-            gx = jnp.where(found, gx, fx)
-            gy = jnp.where(found, gy, fy)
-            gz = jnp.where(found, gz, fz)
-        idx_ref[0, :, j : j + 1] = idx.astype(jnp.int32)
-        if relative:
-            nx_ref[0, :, j : j + 1] = gx - qx
-            ny_ref[0, :, j : j + 1] = gy - qy
-            nz_ref[0, :, j : j + 1] = gz - qz
-        else:
-            nx_ref[0, :, j : j + 1] = gx
-            ny_ref[0, :, j : j + 1] = gy
-            nz_ref[0, :, j : j + 1] = gz
+        g9 = lax.dot_general(
+            sel.astype(jnp.bfloat16), support,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S_blk, 9] — one bf16 MXU pass (idx already falls back to first hit)
+        g = g9[:, 0:3] + g9[:, 3:6] + g9[:, 6:9]  # exact f32 coords
+        oh = (lane_k == j).astype(jnp.float32)  # [S_blk, nsample]
         dist_ref[:, :] = jnp.where(lane == cand, 0.0, dist_ref[:, :])
+        return (
+            first,
+            acc_i + idx.astype(jnp.float32) * oh,
+            acc_x + g[:, 0:1] * oh,
+            acc_y + g[:, 1:2] * oh,
+            acc_z + g[:, 2:3] * oh,
+        )
+
+    zero = jnp.zeros((s_blk, nsample), jnp.float32)
+    first0 = jnp.zeros((s_blk, 1), jnp.int32)
+    _, acc_i, acc_x, acc_y, acc_z = lax.fori_loop(
+        0, nsample, body, (first0, zero, zero, zero, zero)
+    )
+    idx_ref[0, :, :] = acc_i.astype(jnp.int32)
+    if relative:
+        nx_ref[0, :, :] = acc_x - qx
+        ny_ref[0, :, :] = acc_y - qy
+        nz_ref[0, :, :] = acc_z - qz
+    else:
+        nx_ref[0, :, :] = acc_x
+        ny_ref[0, :, :] = acc_y
+        nz_ref[0, :, :] = acc_z
 
 
 @functools.partial(
@@ -422,7 +520,7 @@ def ball_query_gather(
         in_specs=[
             pl.BlockSpec((1, s_blk, 3), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, n_pad), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, 3), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 9), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         out_shape=(
@@ -431,7 +529,10 @@ def ball_query_gather(
         ),
         scratch_shapes=[pltpu.VMEM((s_blk, n_pad), jnp.float32)],
         interpret=interpret,
-    )(new_xyz.astype(jnp.float32), xyz_t, jnp.swapaxes(xyz_t, 1, 2))
+    )(
+        new_xyz.astype(jnp.float32), xyz_t,
+        _bf16x3_parts(jnp.swapaxes(xyz_t, 1, 2)),
+    )
     grouped = jnp.stack([nx, ny, nz], axis=-1)
     return idx, grouped
 

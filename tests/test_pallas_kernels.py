@@ -158,14 +158,14 @@ class TestBallQueryGather:
             in_specs=[
                 pl.BlockSpec((1, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, N, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, 9), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(out_spec, out_spec, out_spec, out_spec),
             out_shape=(jax.ShapeDtypeStruct((B, S, K_), jnp.int32),
                        fshape, fshape, fshape),
             scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
             interpret=True,
-        )(jnp.asarray(q), xyz_t, jnp.swapaxes(xyz_t, 1, 2))
+        )(jnp.asarray(q), xyz_t, G._bf16x3_parts(jnp.swapaxes(xyz_t, 1, 2)))
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
         got_grp = np.stack([np.asarray(nx), np.asarray(ny), np.asarray(nz)], -1)
         np.testing.assert_allclose(got_grp, np.asarray(want_grp), rtol=1e-5, atol=1e-6)
