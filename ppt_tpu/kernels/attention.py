@@ -16,9 +16,14 @@ tests).
 
 from __future__ import annotations
 
+import functools
 import math
+
 import jax
 import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _is_tpu() -> bool:
@@ -38,6 +43,121 @@ def _round_up(x: int, m: int) -> int:
 # is where the [B, H, L, L] scores stop fitting comfortably in HBM
 # bandwidth budget.
 FLASH_MIN_SEQ = 1024
+
+
+# ---------------------------------------------------------------------------
+# Bespoke whole-row fused attention for PPT's ViT shape
+# ---------------------------------------------------------------------------
+#
+# The stock Pallas flash kernel loses to plain einsum at [32, 513, 6, 64]
+# (docs/KERNELS.md: pad-to-512 waste at L=513, hd=64 half-register
+# penalty, online-softmax correction traffic). But the einsum path still
+# pays ~0.5 ms/block of HBM traffic for the [B, H, L, L] scores. At
+# L<=1024 the ENTIRE per-(batch, head) score matrix fits in VMEM
+# (576x576 f32 = 1.3 MB), so no online softmax is needed at all: one
+# kernel instance computes QK^T, a full-row softmax, and PV with the
+# scores never leaving VMEM. Softmax runs in f32 (an accuracy upgrade
+# over the shipped bf16-scores einsum path), the probability matrix is
+# cast to bf16 for the PV matmul, and the denominator division is
+# deferred to the [L, D] output (L*D ops instead of L*L).
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mha_kernel(
+    l_valid: int, heads: int, d: int, scale: float, q_ref, k_ref, v_ref, o_ref
+):
+    """q/k/v/o_ref: [1, Lp, H*D] VMEM blocks for one batch element —
+    heads ride the lane dim (a [1, Lp, 1, D] per-head block would have
+    trailing block dims (1, D), which Mosaic's (8, 128) tiling rejects)
+    and are processed by a static in-kernel loop with static column
+    slices.
+
+    Padded KV columns are masked to -inf before the softmax; padded Q
+    rows compute garbage that the wrapper slices off (they cannot NaN:
+    their scores against valid columns are finite).
+    """
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Lp, Lp] — never leaves VMEM
+        s = s * scale
+        lane = lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(lane < l_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        acc = lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Lp, D]
+        o_ref[0, :, sl] = (acc / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mha_pallas(
+    q: jax.Array, k: jax.Array, v: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """[B, L, H, D] attention with whole-row VMEM-resident scores."""
+    B, L, H, D = q.shape
+    Lp = _round_up(L, 128)
+    pad = ((0, 0), (0, Lp - L), (0, 0), (0, 0))
+    qp, kp, vp = (
+        jnp.pad(t, pad).reshape(B, Lp, H * D) for t in (q, k, v)
+    )  # free reshape: (H, D) are the contiguous trailing dims
+    spec = pl.BlockSpec(
+        (1, Lp, H * D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_mha_kernel, L, H, D, 1.0 / math.sqrt(D)),
+        grid=(B,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, Lp, H * D), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(B, Lp, H, D)[:, :L]
+
+
+def _mha_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """XLA twin of ``_mha_kernel``'s math (f32 scores/softmax, bf16 PV
+    when inputs are bf16) — the golden for tests and the VJP source."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhlm,bmhd->blhd", p.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+@jax.custom_vjp
+def fused_mha(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Whole-row fused attention (Pallas forward, XLA recompute VJP).
+
+    The PPT flagship's point tower is a frozen partition — no parameter
+    gradient ever flows through its attention, so the backward is XLA
+    dead code there; for partial-tuning head types the recompute VJP is
+    exact (same f32-softmax math as the kernel's twin).
+    """
+    return _mha_pallas(q, k, v)
+
+
+def _fused_mha_fwd(q, k, v):
+    return _mha_pallas(q, k, v), (q, k, v)
+
+
+def _fused_mha_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_mha_reference, q, k, v)
+    return vjp(g)
+
+
+fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
 
 
 def chunked_mha(

@@ -159,10 +159,24 @@ class VitAttention(nn.Module):
         def split_heads(t):
             return t.reshape(B, N, self.num_heads, head_dim)
 
-        from ppt_tpu.kernels.attention import flash_mha, FLASH_MIN_SEQ
+        import os
+
+        from ppt_tpu.kernels.attention import (
+            FLASH_MIN_SEQ, _is_tpu, flash_mha, fused_mha,
+        )
 
         qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
-        if self.dtype == jnp.bfloat16 and N < FLASH_MIN_SEQ:
+        use_fused = (
+            _is_tpu()
+            and N < FLASH_MIN_SEQ
+            and not os.environ.get("PPT_FORCE_XLA_ATTN")
+        )
+        if use_fused:
+            # whole-row fused Pallas attention: scores stay in VMEM
+            # (saves the ~0.5 ms/block [B,H,L,L] HBM round-trips the
+            # einsum path pays at the ViT shape), f32 softmax
+            out = fused_mha(qh, kh, vh)
+        elif self.dtype == jnp.bfloat16 and N < FLASH_MIN_SEQ:
             # bf16 score storage halves attention HBM traffic (0.27 vs
             # 0.39 ms/block on v5e); consistent with bf16-everywhere
             # compute (max observed activation drift ~8e-3)
