@@ -1,0 +1,311 @@
+"""Fused MiniPointNet (PointBERT group encoder) Pallas kernels.
+
+The XLA path streams ~1 GB/step of [B, G, M, C] activations through two
+Dense->BN->ReLU stages (docs/PROFILE_r02.md:90-92) and, in train mode,
+re-reads them for the BatchNorm batch-stat reductions. These kernels
+keep every intermediate in VMEM:
+
+- BN1 feeds on an *affine* map of the [.., 3] input, so its batch stats
+  come analytically from the tiny 3x3 input moment matrix (exact same
+  mean/var up to f32 rounding) — no sweep needed before stage 2.
+- ``mini_stats`` (train only): one sweep computing per-tile partial
+  sums/sum-of-squares of the pre-BN2 activations ``h`` (BN1 already
+  folded into the stage-1 weights).
+- ``mini_forward``: the full chain with BOTH BatchNorms folded into the
+  adjacent Dense weights — Dense(3->128) -> ReLU -> Dense(128->256) ->
+  max_M and split-Dense(->512) -> ReLU -> Dense(512->256) -> max_M —
+  per [g_blk] group tile, writing only the [B, G, 256] tokens.
+
+Reference semantics: ``Encoder`` (models/pointbert/dvae.py:184-215);
+the flax twin is ``ppt_tpu.nn.pointbert.MiniPointNet``. Both kernels
+carry a custom VJP whose backward differentiates the plain-XLA twin
+(dead code for the flagship's frozen point tower, exact for
+partial-tuning head types).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA twins (semantic spec + VJP source)
+# ---------------------------------------------------------------------------
+
+
+def _stage1(groups2, fw1, fb1, w2, b2, dtype):
+    """[N, 3] -> x2 [N, 256] (BN1 folded into fw1/fb1), compute dtype."""
+    x = groups2.astype(dtype)
+    x1 = jnp.maximum(x @ fw1.astype(dtype) + fb1.astype(dtype), 0)
+    return x1 @ w2.astype(dtype) + b2.astype(dtype)
+
+
+def _h_of(groups2, m_size, fw1, fb1, w2, b2, wg, wl, bsplit, dtype):
+    """Pre-BN2 activations h [N, 512] (wg/wl/bsplit unfolded or folded)."""
+    x2 = _stage1(groups2, fw1, fb1, w2, b2, dtype)
+    n = groups2.shape[0]
+    g = jnp.max(x2.reshape(n // m_size, m_size, -1), axis=1)  # [G', 256]
+    gh = g @ wg.astype(dtype)  # [G', 512]
+    x2h = (x2 @ wl.astype(dtype)).reshape(n // m_size, m_size, -1)
+    h = x2h + gh[:, None, :] + bsplit.astype(dtype)
+    return h.reshape(n, -1)
+
+
+def _stats_twin(groups2, m_size, fw1, fb1, w2, b2, wg, wl, bsplit, dtype):
+    h = _h_of(groups2, m_size, fw1, fb1, w2, b2, wg, wl, bsplit, dtype)
+    hf = h.astype(jnp.float32)
+    return jnp.sum(hf, axis=0), jnp.sum(hf * hf, axis=0)
+
+
+def _forward_twin(
+    groups2, m_size, fw1, fb1, w2, b2, fwg, fwl, fbsplit, w3, b3, dtype
+):
+    h = jnp.maximum(
+        _h_of(groups2, m_size, fw1, fb1, w2, b2, fwg, fwl, fbsplit, dtype), 0
+    )
+    y = h @ w3.astype(dtype) + b3.astype(dtype)  # [N, 256]
+    n = groups2.shape[0]
+    return jnp.max(y.reshape(n // m_size, m_size, -1), axis=1)  # [G', 256]
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _stats_kernel(
+    m_size, dtype,
+    x_ref, fw1_ref, fb1_ref, w2_ref, b2_ref, wg_ref, wl_ref, bs_ref,
+    out_ref,
+):
+    """x_ref: [1, gm_blk, 3]; out_ref: [1, 8, hw] per-tile partials —
+    row 0 = sum(h), row 1 = sum(h^2), rows 2-7 padding (a [1, hw] output
+    block has sublane dim 1, which Mosaic's (8, 128) tiling rejects)."""
+    gm = x_ref.shape[1]
+    x = x_ref[0].astype(dtype)
+    x1 = jnp.maximum(
+        lax.dot_general(
+            x, fw1_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype) + fb1_ref[0].astype(dtype), 0,
+    )
+    x2 = lax.dot_general(
+        x1, w2_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype) + b2_ref[0].astype(dtype)
+    g = jnp.max(x2.reshape(gm // m_size, m_size, -1), axis=1)
+    gh = lax.dot_general(
+        g, wg_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    x2h = lax.dot_general(
+        x2, wl_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype).reshape(gm // m_size, m_size, -1)
+    h = (x2h + gh[:, None, :] + bs_ref[0].astype(dtype)).reshape(gm, -1)
+    hf = h.astype(jnp.float32)
+    hw = hf.shape[1]
+    out_ref[0, :, :] = jnp.concatenate(
+        [
+            jnp.sum(hf, axis=0).reshape(1, hw),
+            jnp.sum(hf * hf, axis=0).reshape(1, hw),
+            jnp.zeros((6, hw), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
+def _forward_kernel(
+    m_size, dtype,
+    x_ref, fw1_ref, fb1_ref, w2_ref, b2_ref, fwg_ref, fwl_ref, fbs_ref,
+    w3_ref, b3_ref, out_ref,
+):
+    """x_ref: [1, gm_blk, 3]; out_ref: [1, gm_blk // m_size, 256]."""
+    gm = x_ref.shape[1]
+    x = x_ref[0].astype(dtype)
+    x1 = jnp.maximum(
+        lax.dot_general(
+            x, fw1_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype) + fb1_ref[0].astype(dtype), 0,
+    )
+    x2 = lax.dot_general(
+        x1, w2_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype) + b2_ref[0].astype(dtype)
+    g = jnp.max(x2.reshape(gm // m_size, m_size, -1), axis=1)
+    gh = lax.dot_general(
+        g, fwg_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    x2h = lax.dot_general(
+        x2, fwl_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype).reshape(gm // m_size, m_size, -1)
+    h = jnp.maximum(
+        x2h + gh[:, None, :] + fbs_ref[0].astype(dtype), 0
+    ).reshape(gm, -1)
+    y = lax.dot_general(
+        h, w3_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype) + b3_ref[0].astype(dtype)
+    out_ref[0, :, :] = jnp.max(
+        y.reshape(gm // m_size, m_size, -1), axis=1
+    ).astype(out_ref.dtype)
+
+
+def _pick_gm_blk(n_groups: int, m_size: int) -> int:
+    for g_blk in (64, 32, 16, 8):
+        if n_groups % g_blk == 0:
+            return g_blk * m_size
+    return m_size
+
+
+def _wspecs(shapes):
+    """Full-array VMEM specs for the (2-D) weight operands."""
+    return [
+        pl.BlockSpec(s, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+        for s in shapes
+    ]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m_size", "dtype", "interpret")
+)
+def _stats_pallas(
+    groups2, fw1, fb1, w2, b2, wg, wl, bsplit, *, m_size, dtype,
+    interpret=False,
+) -> Tuple[jax.Array, jax.Array]:
+    """groups2: [B, G*M, 3] f32 -> (sum_h, sumsq_h) each [512] f32."""
+    B, GM, _ = groups2.shape
+    G = GM // m_size
+    gm_blk = _pick_gm_blk(G, m_size)
+    tiles = GM // gm_blk
+    hw = wl.shape[1]
+    fb1, b2, bsplit = (t.reshape(1, -1) for t in (fb1, b2, bsplit))
+    wshapes = [fw1.shape, fb1.shape, w2.shape, b2.shape, wg.shape,
+               wl.shape, bsplit.shape]
+    partials = pl.pallas_call(
+        functools.partial(_stats_kernel, m_size, dtype),
+        grid=(B, tiles),
+        in_specs=[
+            pl.BlockSpec((1, gm_blk, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            *_wspecs(wshapes),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, hw), lambda b, t: (b * tiles + t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * tiles, 8, hw), jnp.float32),
+        interpret=interpret,
+    )(groups2, fw1, fb1, w2, b2, wg, wl, bsplit)
+    return jnp.sum(partials[:, 0], axis=0), jnp.sum(partials[:, 1], axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m_size", "dtype", "interpret")
+)
+def _forward_pallas(
+    groups2, fw1, fb1, w2, b2, fwg, fwl, fbsplit, w3, b3, *, m_size, dtype,
+    interpret=False,
+) -> jax.Array:
+    """groups2: [B, G*M, 3] f32 -> tokens [B, G, 256] in ``dtype``."""
+    B, GM, _ = groups2.shape
+    G = GM // m_size
+    gm_blk = _pick_gm_blk(G, m_size)
+    g_blk = gm_blk // m_size
+    tiles = GM // gm_blk
+    co = w3.shape[1]
+    fb1, b2, fbsplit, b3 = (t.reshape(1, -1) for t in (fb1, b2, fbsplit, b3))
+    wshapes = [fw1.shape, fb1.shape, w2.shape, b2.shape, fwg.shape,
+               fwl.shape, fbsplit.shape, w3.shape, b3.shape]
+    out = pl.pallas_call(
+        functools.partial(_forward_kernel, m_size, dtype),
+        grid=(B, tiles),
+        in_specs=[
+            pl.BlockSpec((1, gm_blk, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            *_wspecs(wshapes),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, g_blk, co), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, G, co), dtype),
+        interpret=interpret,
+    )(groups2, fw1, fb1, w2, b2, fwg, fwl, fbsplit, w3, b3)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP entry points (backward = XLA twin)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def mini_stats(m_size, dtype, interpret, groups2, fw1, fb1, w2, b2, wg, wl,
+               bsplit):
+    """(sum_h, sumsq_h) of the pre-BN2 activations over all B*G*M rows."""
+    return _stats_pallas(
+        groups2, fw1, fb1, w2, b2, wg, wl, bsplit,
+        m_size=m_size, dtype=dtype, interpret=interpret,
+    )
+
+
+def _mini_stats_fwd(m_size, dtype, interpret, *args):
+    return mini_stats(m_size, dtype, interpret, *args), args
+
+
+def _mini_stats_bwd(m_size, dtype, interpret, res, g):
+    def twin(groups2, fw1, fb1, w2, b2, wg, wl, bsplit):
+        flat = groups2.reshape(-1, 3)
+        s, ss = _stats_twin(flat, m_size, fw1, fb1, w2, b2, wg, wl, bsplit,
+                            dtype)
+        return s, ss
+
+    _, vjp = jax.vjp(twin, *res)
+    return vjp(g)
+
+
+mini_stats.defvjp(_mini_stats_fwd, _mini_stats_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def mini_forward(m_size, dtype, interpret, groups2, fw1, fb1, w2, b2, fwg,
+                 fwl, fbsplit, w3, b3):
+    """Fused MiniPointNet tokens [B, G, 256] (BatchNorms pre-folded)."""
+    return _forward_pallas(
+        groups2, fw1, fb1, w2, b2, fwg, fwl, fbsplit, w3, b3,
+        m_size=m_size, dtype=dtype, interpret=interpret,
+    )
+
+
+def _mini_forward_fwd(m_size, dtype, interpret, *args):
+    return mini_forward(m_size, dtype, interpret, *args), args
+
+
+def _mini_forward_bwd(m_size, dtype, interpret, res, g):
+    def twin(groups2, fw1, fb1, w2, b2, fwg, fwl, fbsplit, w3, b3):
+        B, GM, _ = groups2.shape
+        out = _forward_twin(
+            groups2.reshape(-1, 3), m_size, fw1, fb1, w2, b2, fwg, fwl,
+            fbsplit, w3, b3, dtype,
+        )
+        return out.reshape(B, GM // m_size, -1)
+
+    _, vjp = jax.vjp(twin, *res)
+    return vjp(g)
+
+
+mini_forward.defvjp(_mini_forward_fwd, _mini_forward_bwd)

@@ -122,6 +122,93 @@ class MiniPointNet(nn.Module):
     @nn.compact
     def __call__(self, groups: jax.Array, train: bool = False) -> jax.Array:
         # groups: [B, G, M, 3] -> [B, G, out_dim]
+        import os
+
+        from ppt_tpu.kernels.attention import _is_tpu
+
+        B, G, M, C = groups.shape
+        use_fused = (
+            not self.is_initializing()
+            and (_is_tpu() or os.environ.get("PPT_FORCE_FUSED_MINI"))
+            and C == 3
+            and M % 8 == 0
+            and G % 8 == 0
+            and not os.environ.get("PPT_FORCE_XLA_MINI")
+        )
+        if use_fused:
+            from ppt_tpu.kernels.mini import mini_forward, mini_stats
+
+            interp = not _is_tpu()  # CPU tests run the kernels interpreted
+
+            eps = 1e-5  # nn.BatchNorm default
+            p = self.variables["params"]
+            w1, b1 = p["conv1a"]["kernel"], p["conv1a"]["bias"]
+            ga1, be1 = p["bn1"]["scale"], p["bn1"]["bias"]
+            w2, b2 = p["conv1b"]["kernel"], p["conv1b"]["bias"]
+            wsp, bsp = p["conv2a"]["kernel"], p["conv2a"]["bias"]
+            cg = wsp.shape[0] - w2.shape[1]
+            wg, wl = wsp[:cg], wsp[cg:]  # _SplitDense: global rows first
+            ga2, be2 = p["bn2"]["scale"], p["bn2"]["bias"]
+            w3, b3 = p["conv2b"]["kernel"], p["conv2b"]["bias"]
+
+            groups2 = groups.reshape(B, G * M, C).astype(jnp.float32)
+            n = B * G * M
+            if train:
+                # BN1 feeds on an affine map of the 3-channel input:
+                # batch mean/var come from the 3x3 input moment matrix
+                # (exact up to f32 rounding), no activation sweep needed
+                z = groups2.reshape(-1, 3)
+                sz = jnp.sum(z, axis=0)  # [3]
+                szz = z.T @ z  # [3, 3]
+                w1f = w1.astype(jnp.float32)
+                b1f = b1.astype(jnp.float32)
+                mean1 = (sz @ w1f) / n + b1f
+                e2 = (
+                    jnp.sum(w1f * (szz @ w1f), axis=0)
+                    + 2.0 * b1f * (sz @ w1f) + n * b1f * b1f
+                ) / n
+                var1 = e2 - mean1 * mean1
+            else:
+                bs = self.variables["batch_stats"]
+                mean1, var1 = bs["bn1"]["mean"], bs["bn1"]["var"]
+            scale1 = ga1 / jnp.sqrt(var1 + eps)
+            shift1 = be1 - mean1 * scale1
+            fw1 = w1 * scale1[None, :]
+            fb1 = b1 * scale1 + shift1
+
+            if train:
+                sumh, sumsqh = mini_stats(
+                    M, self.dtype, interp, groups2, fw1, fb1, w2, b2, wg,
+                    wl, bsp,
+                )
+                mean2 = sumh / n
+                var2 = sumsqh / n - mean2 * mean2
+            else:
+                mean2, var2 = bs["bn2"]["mean"], bs["bn2"]["var"]
+            scale2 = ga2 / jnp.sqrt(var2 + eps)
+            shift2 = be2 - mean2 * scale2
+            fwg = wg * scale2[None, :]
+            fwl = wl * scale2[None, :]
+            fbs = bsp * scale2 + shift2
+
+            out = mini_forward(
+                M, self.dtype, interp, groups2, fw1, fb1, w2, b2, fwg, fwl,
+                fbs, w3, b3,
+            )
+            if train:
+                # drive the flax BN modules with 2-row synthetic tensors
+                # reproducing (mean, var) exactly, so ra_mean/ra_var
+                # update identically to the unfused path and bn1/bn2
+                # keep owning their params/batch_stats
+                s1 = jnp.sqrt(var1)
+                s2 = jnp.sqrt(var2)
+                nn.BatchNorm(
+                    use_running_average=False, dtype=jnp.float32, name="bn1"
+                )(jnp.stack([mean1 + s1, mean1 - s1]))
+                nn.BatchNorm(
+                    use_running_average=False, dtype=jnp.float32, name="bn2"
+                )(jnp.stack([mean2 + s2, mean2 - s2]))
+            return out
         x = nn.Dense(128, dtype=self.dtype, name="conv1a")(groups)
         # BN output in compute dtype: flax computes the statistics in
         # fp32 regardless (linen _compute_stats promotes), but a fp32
