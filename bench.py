@@ -86,6 +86,44 @@ def main():
         )
     )
 
+    # Second line: the anchor workload itself — PointNeXt-S B128x1024
+    # INFERENCE, the only published reference throughput number
+    # (modelzoo.md:17: 2040 ins/sec on V100). Same value-fetch timing.
+    from ppt_tpu.nn import PointNext
+
+    model2 = PointNext(dtype=jnp.bfloat16)
+    Ba = 128
+    pc4 = jnp.asarray(rng.rand(Ba, 1024, 4).astype(np.float32))
+    v2 = jax.jit(model2.init)(jax.random.PRNGKey(0), pc4[:2])
+    pcs4 = jnp.asarray(rng.rand(K, Ba, 1024, 4).astype(np.float32))
+
+    def body(c, x):
+        out = model2.apply(v2, x)
+        return c + jnp.sum(out.astype(jnp.float32)) * 1e-30, None
+
+    @jax.jit
+    def run(xs):
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
+        return c
+
+    float(run(pcs4))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(pcs4))
+        best = min(best, time.perf_counter() - t0)
+    anchor_cps = Ba * K / best
+    print(
+        json.dumps(
+            {
+                "metric": "inference clouds/sec/chip (PointNeXt-S, B128xN1024, bf16) — the modelzoo.md:17 anchor workload",
+                "value": round(anchor_cps, 2),
+                "unit": "clouds/sec",
+                "vs_baseline": round(anchor_cps / baseline, 4),
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -400,6 +400,57 @@ def _ball_query_kernel_v2(
         nz_ref[0, :, :] = gz
 
 
+def _ball_query_feats_kernel(
+    nsample: int, radius: float, n_valid: int, relative: bool,
+    q_ref, xyz_ref, xyz_nl_ref, feats_ref,
+    idx_ref, nx_ref, ny_ref, nz_ref, fj_ref, dist_ref,
+):
+    """Ball query + coordinate gather + FEATURE gather in one kernel.
+
+    Same extraction loop as ``_ball_query_kernel``; afterwards the final
+    index table drives a one-hot matmul gather of the support features
+    (``feats_ref``: [1, Npad, F] — bf16 activations, so a single bf16
+    MXU pass with f32 accumulation reproduces them exactly), emitted as
+    ``fj_ref`` [1, S_blk, nsample, F]. This exists because XLA's native
+    row gather is the dominant cost of PointNeXt inference on TPU
+    (measured ~18 ms for ONE [128,1024,32]-by-[128,512,32] gather —
+    more than the entire extraction loop); the one-hot build + matmul
+    is ~10 us per instance. One-hot blocks are built 8 query-slots at a
+    time to bound VMEM.
+    """
+    _ball_query_kernel(
+        nsample, radius, n_valid, relative,
+        q_ref, xyz_ref, xyz_nl_ref, idx_ref, nx_ref, ny_ref, nz_ref,
+        dist_ref,
+    )
+    s_blk = q_ref.shape[1]
+    n_pad = xyz_ref.shape[2]
+    f_dim = feats_ref.shape[2]
+    support_f = feats_ref[0]  # [Npad, F]
+    idx_all = idx_ref[0, :, :]  # [S_blk, nsample] int32 (all slots valid)
+    budget = max(1, 2048 // s_blk)
+    chunk = 1
+    for c in range(1, nsample + 1):  # largest divisor of nsample <= budget
+        if nsample % c == 0 and c <= budget:
+            chunk = c
+    lane3 = lax.broadcasted_iota(jnp.int32, (s_blk, chunk, n_pad), 2)
+    for js in range(0, nsample, chunk):
+        # explicit slice+expand_dims: the jnp mixed basic/None indexing
+        # form lowers through lax.gather, which Mosaic rejects
+        sl = jnp.expand_dims(
+            lax.slice_in_dim(idx_all, js, js + chunk, axis=1), -1
+        )
+        p = (sl == lane3).astype(jnp.bfloat16)
+        fj = lax.dot_general(
+            p.reshape(s_blk * chunk, n_pad), support_f,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S_blk*chunk, F]
+        fj_ref[0, :, js : js + chunk, :] = fj.reshape(
+            s_blk, chunk, f_dim
+        ).astype(fj_ref.dtype)
+
+
 def _ball_query_kernel(
     nsample: int, radius: float, n_valid: int, relative: bool,
     q_ref, xyz_ref, xyz_nl_ref, idx_ref, nx_ref, ny_ref, nz_ref, dist_ref,
@@ -535,6 +586,71 @@ def ball_query_gather(
     )
     grouped = jnp.stack([nx, ny, nz], axis=-1)
     return idx, grouped
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nsample", "radius", "relative", "interpret")
+)
+def ball_query_gather_feats(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    feats: jax.Array,
+    *,
+    relative: bool = True,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Ball query + coordinate gather + feature gather in one kernel.
+
+    Returns (idx [B, S, nsample] i32, grouped_xyz [B, S, nsample, 3] f32,
+    fj [B, S, nsample, F] in feats.dtype). Replaces
+    ``query_ball_point`` + two ``index_points`` calls — the XLA feature
+    gather alone costs more than the whole kernel at PointNeXt shapes.
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    F = feats.shape[2]
+    s_blk = 128 if S % 128 == 0 else 8
+    assert S % s_blk == 0, f"S={S} must be a multiple of 8"
+    n_pad = _round_up(N, 128)
+
+    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
+    if n_pad != N:
+        xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - N)))
+    feats_p = feats.astype(jnp.bfloat16)
+    if n_pad != N:
+        feats_p = jnp.pad(feats_p, ((0, 0), (0, n_pad - N), (0, 0)))
+
+    out_spec = pl.BlockSpec((1, s_blk, nsample), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM)
+    fshape = jax.ShapeDtypeStruct((B, S, nsample), jnp.float32)
+    idx, nx, ny, nz, fj = pl.pallas_call(
+        functools.partial(
+            _ball_query_feats_kernel, nsample, float(radius), N, relative
+        ),
+        grid=(B, S // s_blk),
+        in_specs=[
+            pl.BlockSpec((1, s_blk, 3), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n_pad), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 9), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, F), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            out_spec, out_spec, out_spec, out_spec,
+            pl.BlockSpec((1, s_blk, nsample, F), lambda b, s: (b, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
+            fshape, fshape, fshape,
+            jax.ShapeDtypeStruct((B, S, nsample, F), jnp.bfloat16),
+        ),
+        scratch_shapes=[pltpu.VMEM((s_blk, n_pad), jnp.float32)],
+        interpret=interpret,
+    )(new_xyz.astype(jnp.float32), xyz_t,
+      _bf16x3_parts(jnp.swapaxes(xyz_t, 1, 2)), feats_p)
+    grouped = jnp.stack([nx, ny, nz], axis=-1)
+    return idx, grouped, fj.astype(feats.dtype)
 
 
 def fused_group(

@@ -135,11 +135,15 @@ class SetAbstractionNext(nn.Module):
             on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:
             on_tpu = False
-        if on_tpu and npoint % 8 == 0:
-            from ppt_tpu.kernels.group import ball_query_gather
+        if on_tpu and npoint % 8 == 0 and feats.dtype == jnp.bfloat16:
+            from ppt_tpu.kernels.group import ball_query_gather_feats
 
-            idx, rel = ball_query_gather(
-                float(self.radius), nsample, xyz, new_xyz, relative=True
+            # one kernel: query + coord gather + FEATURE gather — XLA's
+            # native row gather of fj is the dominant PointNeXt cost on
+            # TPU (~18 ms for the stage-1 gather alone at B=128)
+            idx, rel, fj = ball_query_gather_feats(
+                float(self.radius), nsample, xyz, new_xyz, feats,
+                relative=True,
             )
             dp = rel.astype(xyz.dtype) / self.radius  # normalize_dp
         else:
@@ -147,7 +151,7 @@ class SetAbstractionNext(nn.Module):
             dp = (
                 ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
             ) / self.radius  # normalize_dp (group.py:250-253)
-        fj = ops.index_points(feats, idx)
+            fj = ops.index_points(feats, idx)
         x = jnp.concatenate([dp.astype(self.dtype), fj], axis=-1)
 
         mid = self.out_channels // 2 if self.stride > 1 else self.out_channels

@@ -243,8 +243,22 @@ def sample_and_group(
     fps_idx = farthest_point_sample(xyz, npoint, start_idx=start_idx)
     new_xyz = index_points(xyz, fps_idx)
     if _on_tpu() and npoint % 8 == 0 and not return_fps:
-        # fused Pallas ball-query+gather: rel coords come out of the
-        # kernel's VMEM tiles; only feature gathers stay XLA
+        # fused Pallas ball-query+gather: rel coords AND features come
+        # out of the kernel's VMEM tiles — XLA's native row gather of
+        # the features is the dominant cost at these shapes (~18 ms for
+        # one [128,1024,32]x[128,512,32] gather on v5e)
+        if points is not None and points.dtype == jnp.bfloat16:
+            # (bf16-only: the in-kernel gather matmul reproduces bf16
+            # features exactly; f32 features keep the XLA gather)
+            from ppt_tpu.kernels.group import ball_query_gather_feats
+
+            idx, grouped_xyz_norm, grouped_points = ball_query_gather_feats(
+                float(radius), nsample, xyz, new_xyz, points, relative=True
+            )
+            new_points = jnp.concatenate(
+                [grouped_xyz_norm.astype(xyz.dtype), grouped_points], axis=-1
+            )
+            return new_xyz, new_points
         from ppt_tpu.kernels.group import ball_query_gather
 
         idx, grouped_xyz_norm = ball_query_gather(

@@ -300,3 +300,31 @@ class TestFusedMiniPointNet:
         flat = jax.tree.leaves(grads)
         assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
         assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+class TestBallQueryGatherFeats:
+    def test_matches_separate_gathers(self, rng):
+        from ppt_tpu.kernels.group import (
+            ball_query_gather, ball_query_gather_feats,
+        )
+
+        B, N, S, K_, F, radius = 2, 200, 16, 8, 32, 0.3
+        xyz = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(B, S, 3).astype(np.float32))
+        feats = jnp.asarray(
+            rng.rand(B, N, F).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        want_idx, want_grp = ball_query_gather(
+            radius, K_, xyz, q, interpret=True
+        )
+        idx, grp, fj = ball_query_gather_feats(
+            radius, K_, xyz, q, feats, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+        np.testing.assert_allclose(
+            np.asarray(grp), np.asarray(want_grp), rtol=1e-6
+        )
+        want_fj = np.asarray(ops.index_points(feats, want_idx))
+        np.testing.assert_array_equal(
+            np.asarray(fj).astype(np.float32), want_fj.astype(np.float32)
+        )
