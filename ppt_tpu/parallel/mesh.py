@@ -21,11 +21,98 @@ named axes so they can be added without restructuring.
 
 from __future__ import annotations
 
+import logging
+import os
 from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+log = logging.getLogger(__name__)
+
+
+def init_multihost(args=None) -> bool:
+    """Multi-host (pod-slice) process bring-up.
+
+    The TPU-native equivalent of the reference's
+    ``init_distributed_mode`` (``utils/utils.py:104-143``: env:// RANK/
+    WORLD_SIZE parsing + SLURM detection + NCCL process group): here
+    the process group is ``jax.distributed.initialize``, after which
+    ``jax.devices()`` spans the whole slice, GSPMD handles every
+    collective over ICI/DCN, and ``create_mesh`` builds the global mesh.
+
+    Coordinator discovery, in precedence order:
+      1. explicit env: ``PPT_COORDINATOR`` (+ ``PPT_NUM_PROCESSES``,
+         ``PPT_PROCESS_ID``) — the env:// equivalent;
+      2. torchrun-style env: ``MASTER_ADDR``/``MASTER_PORT`` +
+         ``WORLD_SIZE``/``RANK`` (reference parity, utils.py:126-129);
+      3. SLURM: ``SLURM_PROCID``/``SLURM_NTASKS`` + first node of
+         ``SLURM_STEP_NODELIST`` (reference parity, utils.py:130-132);
+      4. TPU metadata: bare ``jax.distributed.initialize()`` —
+         Cloud TPU pod slices self-discover.
+
+    Returns True when running distributed (process_count > 1 after
+    init), False for single-process runs ("Not using distributed
+    mode"). Idempotent: re-initialization errors are swallowed.
+    Mirrors the reference's rank fields onto ``args`` when given
+    (``args.rank`` / ``args.world_size`` / ``args.distributed``).
+    """
+    kwargs = {}
+    env = os.environ
+    if "PPT_COORDINATOR" in env:
+        kwargs = dict(
+            coordinator_address=env["PPT_COORDINATOR"],
+            num_processes=int(env.get("PPT_NUM_PROCESSES", "1")),
+            process_id=int(env.get("PPT_PROCESS_ID", "0")),
+        )
+    elif "MASTER_ADDR" in env and "WORLD_SIZE" in env:
+        kwargs = dict(
+            coordinator_address=(
+                f"{env['MASTER_ADDR']}:{env.get('MASTER_PORT', '12355')}"
+            ),
+            num_processes=int(env["WORLD_SIZE"]),
+            process_id=int(env.get("RANK", "0")),
+        )
+    elif "SLURM_PROCID" in env and "SLURM_NTASKS" in env:
+        nodelist = env.get("SLURM_STEP_NODELIST", env.get("SLURM_NODELIST", ""))
+        first = nodelist.split(",")[0].split("[")[0] or "localhost"
+        port = env.get("PPT_COORDINATOR_PORT", "12355")
+        kwargs = dict(
+            coordinator_address=f"{first}:{port}",
+            num_processes=int(env["SLURM_NTASKS"]),
+            process_id=int(env["SLURM_PROCID"]),
+        )
+    elif len(env.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1:
+        pass  # multi-host pod slice: bare initialize() self-discovers
+    else:
+        if args is not None:
+            args.distributed = False
+        log.info("init_multihost: no coordinator config — single process")
+        return False
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # already initialized (idempotence)
+        if "already initialized" not in str(e).lower():
+            raise
+    except ValueError as e:
+        # metadata discovery unavailable (e.g. tunneled single-chip TPU
+        # without pod metadata) — bring-up must never break single-host
+        if args is not None:
+            args.distributed = False
+        log.warning("init_multihost: %s — continuing single process", e)
+        return False
+    distributed = jax.process_count() > 1
+    if args is not None:
+        args.rank = jax.process_index()
+        args.world_size = jax.process_count()
+        args.distributed = distributed
+    log.info(
+        "init_multihost: process %d/%d, %d global devices",
+        jax.process_index(), jax.process_count(), len(jax.devices()),
+    )
+    return distributed
 
 
 def create_mesh(

@@ -67,6 +67,9 @@ def make_dvae_step(model, optimizer, kl_weight: float = 0.1):
 
 def main(args: TaskArgs, config: DvaeConfig | None = None) -> Dict:
     logging.basicConfig(level=logging.INFO)
+    from ppt_tpu.parallel import init_multihost
+
+    init_multihost(args)  # pod-slice bring-up; no-op single-process
     args.task = "dvae"
     train_ds = build_dataset(args.dataset_name, args, "train")
     model = DiscreteVAE(

@@ -74,6 +74,9 @@ def main(
     mask_ratio: float = 0.4,
 ) -> Dict:
     logging.basicConfig(level=logging.INFO)
+    from ppt_tpu.parallel import init_multihost
+
+    init_multihost(args)  # pod-slice bring-up; no-op single-process
     args.task = "mpm"
     cfg = config or PointBertConfig()
     dcfg = dvae_config or DvaeConfig(

@@ -206,6 +206,9 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
 
 def main(args: TaskArgs):
     logging.basicConfig(level=logging.INFO)
+    from ppt_tpu.parallel import init_multihost
+
+    init_multihost(args)  # pod-slice bring-up; no-op single-process
     args.model = args.model if "partseg" in args.model else "ULIP_PointBERT_partseg"
     ctx = setup(args)
     if args.evaluate_3d:

@@ -92,6 +92,9 @@ def make_pretrain_step(model, optimizer):
 
 def main(args: TaskArgs) -> Dict:
     logging.basicConfig(level=logging.INFO)
+    from ppt_tpu.parallel import init_multihost
+
+    init_multihost(args)  # pod-slice bring-up; no-op single-process
     args.task = "pretrain"
     if args.dataset_name not in ("shapenet", "synthetic"):
         args.dataset_name = "shapenet"
