@@ -73,6 +73,14 @@ class TaskArgs:
     mesh_devices: int = 0  # 0 = all
     steps_per_dispatch: int = 1  # >1: lax.scan over stacked batches
     votes: int = 1  # eval-time augmentation voting (openpoints --vote)
+    # scene segmentation (openpoints examples/segmentation)
+    voxel_size: float = 0.04
+    voxel_max: int = 4096
+    test_area: int = 5  # S3DIS held-out area
+    eval_scene: bool = False  # whole-scene (multi-voxel-pass) final eval
+    allow_train_eval: bool = False  # fall back to train split for eval
+    max_eval_passes: int = 0  # 0 = all voxel passes (reference behavior)
+    cm_out: str = ""  # write eval confusion matrix npz (s3dis_6fold input)
     # experiment tracking
     proj_name: str = "PPT_TPU"
     exp_name: str = ""
