@@ -198,13 +198,18 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
     train_ds, test_ds = ctx["train_ds"], ctx["test_ds"]
 
     K = max(args.steps_per_dispatch, 1)
+    # adahessian needs the Hutchinson Hessian diagonal threaded into the
+    # step (reference: openpoints/optim/adahessian.py set_hessian)
+    second_order = args.optim.lower() == "adahessian"
     if K > 1:
         from ppt_tpu.train import make_train_multi_step
 
         multi_fn = make_train_multi_step(
-            model, optimizer, smoothing=args.label_smoothing
+            model, optimizer, smoothing=args.label_smoothing,
+            second_order=second_order,
         )
-    step_fn = make_train_step(model, optimizer, smoothing=args.label_smoothing)
+    step_fn = make_train_step(model, optimizer, smoothing=args.label_smoothing,
+                              second_order=second_order)
     eval_fn = make_cached_text_eval(model)
     loader = Loader(
         train_ds, batch_size=args.batch_size, shuffle=True, drop_last=True,
@@ -303,6 +308,11 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
 
 def main(args: TaskArgs) -> Dict[str, float]:
     logging.basicConfig(level=logging.INFO)
+    # pod-slice process bring-up MUST precede first device use
+    # (no-op single-process; reference parity: utils.py:104-143)
+    from ppt_tpu.parallel import init_multihost
+
+    init_multihost(args)
     ctx = setup(args)
     if args.evaluate_3d:
         if args.test_ckpt_addr:

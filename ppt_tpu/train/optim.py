@@ -126,6 +126,94 @@ class MadgradState(NamedTuple):
     x0: optax.Params  # initial iterate
 
 
+class AdahessianState(NamedTuple):
+    count: jnp.ndarray
+    exp_avg: Any
+    exp_hess_sq: Any
+
+
+def adahessian(
+    learning_rate,
+    betas: Tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    hessian_power: float = 1.0,
+) -> optax.GradientTransformationExtraArgs:
+    """ADAHESSIAN (Yao et al. 2021) as an optax transform.
+
+    Update recurrence transcribed from the reference torch
+    implementation (``openpoints/optim/adahessian.py:119-155``):
+    AdamW-style decoupled weight decay ``p *= 1 - lr*wd``, first-moment
+    EMA of the gradient, second-moment EMA of the SQUARED Hutchinson
+    Hessian-diagonal estimate, bias correction on both, denominator
+    ``(v_hat)^(k/2) + eps``.
+
+    The Hessian diagonal cannot be derived from the gradient alone, so
+    the train step must thread it in as the ``hess`` extra arg —
+    compute it with :func:`hutchinson_diag` (one ``jax.jvp`` of the
+    gradient function per Rademacher probe; the reference does the same
+    with ``torch.autograd.grad(grads, params, grad_outputs=z)``).
+    """
+    b1, b2 = betas
+
+    def init(params):
+        return AdahessianState(
+            count=jnp.zeros([], jnp.int32),
+            exp_avg=jax.tree.map(jnp.zeros_like, params),
+            exp_hess_sq=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(grads, state, params=None, *, hess, **extra):
+        del extra
+        if params is None:
+            raise ValueError("adahessian requires params")
+        count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        exp_avg = jax.tree.map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.exp_avg, grads
+        )
+        exp_hess_sq = jax.tree.map(
+            lambda v, h: b2 * v + (1.0 - b2) * h * h,
+            state.exp_hess_sq, hess,
+        )
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        k = hessian_power
+
+        def upd(p, m, v):
+            denom = (v / bc2) ** (k / 2.0) + eps
+            return -lr * weight_decay * p - (lr / bc1) * m / denom
+
+        updates = jax.tree.map(upd, params, exp_avg, exp_hess_sq)
+        return updates, AdahessianState(count, exp_avg, exp_hess_sq)
+
+    return optax.GradientTransformationExtraArgs(init, update)
+
+
+def hutchinson_diag(grad_fn, params, key, n_samples: int = 1):
+    """Hutchinson estimate of the Hessian diagonal: ``E_z[z * (H z)]``
+    with Rademacher ``z``; ``H z`` via ``jax.jvp`` of ``grad_fn``
+    (forward-over-reverse — one extra backward per probe, like the
+    reference's ``torch.autograd.grad(grads, params, grad_outputs=zs)``,
+    ``adahessian.py:96-102``)."""
+    leaves, treedef = jax.tree.flatten(params)
+    total = jax.tree.map(jnp.zeros_like, params)
+    for i in range(n_samples):
+        keys = jax.random.split(jax.random.fold_in(key, i), len(leaves))
+        z = jax.tree.unflatten(
+            treedef,
+            [
+                (jax.random.randint(k, l.shape, 0, 2) * 2 - 1).astype(l.dtype)
+                for k, l in zip(keys, leaves)
+            ],
+        )
+        _, hz = jax.jvp(grad_fn, (params,), (z,))
+        total = jax.tree.map(
+            lambda t, h, zz: t + h * zz / n_samples, total, hz, z
+        )
+    return total
+
+
 def madgrad(
     learning_rate,
     momentum: float = 0.9,
@@ -407,8 +495,16 @@ def _build_base_optimizer(
         )
     if name == "adamp":
         return adamp(schedule, betas=betas, eps=eps, weight_decay=weight_decay)
+    if name == "adahessian":
+        # reference defaults betas=(0.9, 0.999) (adahessian.py:27); the
+        # train step must thread the Hutchinson diagonal as `hess` (see
+        # trainer.make_train_step(second_order=True))
+        return adahessian(
+            schedule, betas=(0.9, 0.999), eps=eps, weight_decay=weight_decay
+        )
     raise KeyError(
         f"unknown optimizer {name!r}; supported: adamw adam sgd nesterov "
         "momentum lamb lars adabelief adafactor radam nadam adamax "
-        "adadelta adagrad novograd rmsprop rmsprop_tf madgrad sgdp adamp"
+        "adadelta adagrad novograd rmsprop rmsprop_tf madgrad sgdp adamp "
+        "adahessian"
     )

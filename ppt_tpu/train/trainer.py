@@ -112,9 +112,19 @@ def _make_train_step_fn(
     optimizer: optax.GradientTransformation,
     smoothing: float = 0.0,
     partseg: bool = False,
+    second_order: bool = False,
+    n_hess_samples: int = 1,
 ):
     """Unjitted single-step body shared by the jitted single- and
-    multi-step trainers."""
+    multi-step trainers.
+
+    ``second_order=True`` (required for adahessian) additionally
+    estimates the Hessian diagonal with ``n_hess_samples`` Rademacher
+    probes — one ``jax.jvp`` of the gradient function each, the JAX
+    form of the reference's ``torch.autograd.grad(grads, params,
+    grad_outputs=zs)`` (``openpoints/optim/adahessian.py:96-102``) —
+    and threads it to the optimizer as the ``hess`` extra arg.
+    """
 
     # extra-args support lets metric-driven stages (reduce_on_plateau)
     # receive the loss; plain transforms ignore the kwarg. State layout
@@ -123,7 +133,7 @@ def _make_train_step_fn(
 
     def train_step(state: TrainState, batch, prompts):
         rng, step_rng = jax.random.split(state.rng)
-        dropout_rng, droppath_rng = jax.random.split(step_rng)
+        dropout_rng, droppath_rng, hess_rng = jax.random.split(step_rng, 3)
 
         def loss_fn(trainable):
             params = merge_params(trainable, state.frozen)
@@ -154,8 +164,16 @@ def _make_train_step_fn(
         (loss, (new_bs, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.trainable)
+        extra = {}
+        if second_order:
+            from ppt_tpu.train.optim import hutchinson_diag
+
+            grad_fn = lambda t: jax.grad(loss_fn, has_aux=True)(t)[0]  # noqa: E731
+            extra["hess"] = hutchinson_diag(
+                grad_fn, state.trainable, hess_rng, n_samples=n_hess_samples
+            )
         updates, new_opt = optimizer.update(
-            grads, state.opt_state, state.trainable, value=loss
+            grads, state.opt_state, state.trainable, value=loss, **extra
         )
         new_trainable = optax.apply_updates(state.trainable, updates)
         new_trainable = _clamp_logit_scale(new_trainable)
@@ -177,6 +195,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     smoothing: float = 0.0,
     partseg: bool = False,
+    second_order: bool = False,
 ):
     """Build the jitted classification/partseg train step.
 
@@ -188,7 +207,8 @@ def make_train_step(
     (hundreds of MB) instead of copying it into the new state each step.
     """
     return jax.jit(
-        _make_train_step_fn(model, optimizer, smoothing, partseg),
+        _make_train_step_fn(model, optimizer, smoothing, partseg,
+                            second_order),
         donate_argnums=(0,),
     )
 
@@ -198,6 +218,7 @@ def make_train_multi_step(
     optimizer: optax.GradientTransformation,
     smoothing: float = 0.0,
     partseg: bool = False,
+    second_order: bool = False,
 ):
     """Multi-step trainer: one dispatch runs K optimizer steps via
     ``lax.scan`` over stacked batches ``[K, B, ...]``.
@@ -207,7 +228,8 @@ def make_train_multi_step(
     scan iteration consumes a different batch, so nothing is hoisted.
     Returns per-step metrics ``[K]``.
     """
-    single = _make_train_step_fn(model, optimizer, smoothing, partseg)
+    single = _make_train_step_fn(model, optimizer, smoothing, partseg,
+                                 second_order)
 
     def multi_step(state: TrainState, batches, prompts):
         def body(carry, batch):

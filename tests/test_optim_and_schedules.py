@@ -184,3 +184,96 @@ def test_plateau_reduces_lr_on_stagnant_loss():
 def test_plateau_schedule_name_accepted():
     sched = build_schedule("plateau", 1e-3, 10, 5)
     assert abs(float(sched(0)) - 1e-3) < 1e-9
+
+
+class TestAdahessian:
+    def test_recurrence_matches_reference_two_steps(self):
+        """Two transcribed steps of the reference update math
+        (openpoints/optim/adahessian.py:119-155): decoupled wd
+        p *= 1-lr*wd; m = b1 m + (1-b1) g; v = b2 v + (1-b2) h^2;
+        denom = (v/bc2)^(k/2) + eps; p -= (lr/bc1) m/denom."""
+        import optax
+        from ppt_tpu.train.optim import adahessian
+
+        lr, wd, eps, k = 0.1, 0.01, 1e-8, 1.0
+        b1, b2 = 0.9, 0.999
+        opt = adahessian(lr, betas=(b1, b2), eps=eps, weight_decay=wd,
+                         hessian_power=k)
+        p = jnp.asarray([1.0, -2.0, 0.5])
+        state = opt.init({"p": p})
+        gs = [np.asarray([0.1, 0.2, -0.3]), np.asarray([-0.05, 0.4, 0.2])]
+        hs = [np.asarray([2.0, 0.5, 1.5]), np.asarray([1.0, 3.0, 0.25])]
+
+        # reference recurrence in numpy
+        want = np.asarray(p, np.float64)
+        m = np.zeros(3)
+        v = np.zeros(3)
+        for t, (g, h) in enumerate(zip(gs, hs), start=1):
+            want *= 1.0 - lr * wd
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * h * h
+            bc1, bc2 = 1 - b1 ** t, 1 - b2 ** t
+            denom = (v / bc2) ** (k / 2) + eps
+            want -= (lr / bc1) * m / denom
+
+        got = {"p": p}
+        for g, h in zip(gs, hs):
+            updates, state = opt.update(
+                {"p": jnp.asarray(g, jnp.float32)}, state, got,
+                hess={"p": jnp.asarray(h, jnp.float32)},
+            )
+            got = optax.apply_updates(got, updates)
+        np.testing.assert_allclose(np.asarray(got["p"]), want, rtol=1e-5)
+
+    def test_hutchinson_diag_exact_for_diagonal_hessian(self):
+        """For a separable loss the Hessian is diagonal and z*(Hz) is
+        exact for every Rademacher probe (z_i^2 = 1)."""
+        import jax
+        from ppt_tpu.train.optim import hutchinson_diag
+
+        def loss(params):
+            return jnp.sum(params["w"] ** 4) + 2.0 * jnp.sum(params["b"] ** 2)
+
+        params = {"w": jnp.asarray([1.0, -0.5]), "b": jnp.asarray([3.0])}
+        d = hutchinson_diag(jax.grad(loss), params, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(
+            np.asarray(d["w"]), 12.0 * np.asarray([1.0, 0.25]), rtol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(d["b"]), [4.0], rtol=1e-6)
+
+    def test_build_optimizer_accepts_adahessian_and_trains(self):
+        """End-to-end through the trainer plumbing: second_order=True
+        computes the Hutchinson diagonal inside the jitted step and a
+        quadratic objective decreases."""
+        import jax
+        import optax
+        from ppt_tpu.train.optim import build_optimizer, hutchinson_diag
+
+        opt = build_optimizer("adahessian", 0.05)
+        opt = optax.with_extra_args_support(opt)
+        params = {"w": jnp.asarray([2.0, -3.0, 1.0])}
+
+        def loss_fn(p):
+            return jnp.sum(p["w"] ** 2) + 0.1 * jnp.sum(p["w"] ** 4)
+
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            hess = hutchinson_diag(jax.grad(loss_fn), params, key)
+            updates, state = opt.update(
+                grads, state, params, value=loss, hess=hess
+            )
+            return optax.apply_updates(params, updates), state, loss
+
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for i in range(60):
+            key, k = jax.random.split(key)
+            params, state, loss = step(params, state, k)
+            losses.append(float(loss))
+        # Adam-family step size is ~lr/step; 60 steps at lr=0.05 from
+        # |w|~3 must cut the quadratic by well over 10x
+        assert losses[-1] < 0.1 * losses[0], losses[::10]
+        assert all(a >= b for a, b in zip(losses, losses[1:])), "not monotone"
