@@ -1,0 +1,110 @@
+"""Data-parallel equivalence at FLAGSHIP width (VERDICT r2 weak #6).
+
+``dryrun_multichip`` proves the sharding rules compile and execute on
+tiny shapes; this test proves the *numbers* are right at the real model
+width: one train step of the full-width ULIP-PointBERT (trans_dim 384,
+12 blocks, 512-wide 12-layer text tower — only N and num_group are
+shrunk to keep CPU time sane) on a 2-device dp mesh must match the same
+step on one device.
+
+SGD is used for the update so the comparison is linear in the gradient
+(Adam's m/sqrt(v) normalization turns reduction-order noise on
+near-zero grads into sign flips); updated-param equality then implies
+grad equality through the psum that GSPMD inserts for the sharded
+batch (the reference's scaled_all_reduce, ``utils/utils.py:154-176``).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _build():
+    from ppt_tpu.models import PromptArrays, Ulip, trainable_mask
+    from ppt_tpu.nn import PointBert, PointBertConfig, TextConfig
+    from ppt_tpu.prompt import build_prompt_spec
+
+    labels = json.load(
+        open(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "ppt_tpu", "assets", "labels.json",
+            )
+        )
+    )["modelnet40"]
+    cfg = PointBertConfig(num_group=32, group_size=16)  # full width/depth
+    spec = build_prompt_spec(labels, n_ctx=32, class_name_position="middle")
+    prompts = PromptArrays.from_spec(spec)
+    model = Ulip(
+        point_encoder=PointBert(cfg),
+        pc_feat_dims=2 * cfg.trans_dim,
+        n_ctx=32,
+        text_config=TextConfig(),
+        dtype=jnp.float32,
+    )
+    return model, prompts, trainable_mask
+
+
+def test_dp2_step_matches_single_device_flagship_width():
+    from ppt_tpu.parallel import create_mesh, replicate, shard_batch
+    from ppt_tpu.train import create_train_state, make_train_step
+
+    model, prompts, trainable_mask = _build()
+    B, N = 4, 128
+    rs = np.random.RandomState(0)
+    pc = jnp.asarray(rs.rand(B, N, 3).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, 40, B))
+    batch = {"pc": pc, "label": labels}
+
+    variables = model.init(jax.random.PRNGKey(0), pc[:2], prompts)
+    mask = trainable_mask(variables["params"], head_type=3)
+    opt = optax.sgd(0.05)
+
+    def fresh_state():
+        # deep copy: the train step donates its state, and replicate() on
+        # an already-placed tree can alias the original buffers — without
+        # the copy, run 2 would read donated (deleted) arrays
+        v = jax.tree.map(jnp.array, variables)
+        return create_train_state(v, mask, opt, jax.random.PRNGKey(7))
+
+    step_fn = make_train_step(model, opt, smoothing=0.2)
+
+    # single device (trivial 1-device mesh keeps the same code path)
+    mesh1 = create_mesh(1)
+    s1, m1 = step_fn(
+        replicate(fresh_state(), mesh1),
+        shard_batch(batch, mesh1),
+        replicate(prompts, mesh1),
+    )
+    loss1, acc1 = float(m1["loss"]), float(m1["acc"])
+    t1 = jax.device_get(s1.trainable)
+
+    # dp=2: batch sharded over the data axis, params replicated
+    mesh2 = create_mesh(2)
+    s2, m2 = step_fn(
+        replicate(fresh_state(), mesh2),
+        shard_batch(batch, mesh2),
+        replicate(prompts, mesh2),
+    )
+    loss2, acc2 = float(m2["loss"]), float(m2["acc"])
+    t2 = jax.device_get(s2.trainable)
+
+    assert np.isfinite(loss1)
+    np.testing.assert_allclose(loss2, loss1, rtol=1e-5)
+    np.testing.assert_allclose(acc2, acc1, atol=1e-6)
+    flat1 = jax.tree_util.tree_leaves_with_path(t1)
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(t2)}
+    assert len(flat1) == len(flat2)
+    for key, v1 in flat1:
+        ks = jax.tree_util.keystr(key)
+        np.testing.assert_allclose(
+            flat2[ks], v1, rtol=1e-4, atol=1e-5,
+            err_msg=f"dp=2 diverges from single device at {ks}",
+        )
