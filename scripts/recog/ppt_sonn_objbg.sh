@@ -1,7 +1,6 @@
 #!/usr/bin/env bash
-# PPT recognition on ScanObjectNN obj_bg variant
-# (reference scripts/recog/cls-pointbert-sonn_obj_bg-*.sh)
+# PPT recognition on ScanObjectNN obj_bg — delegates to the published
+# PPT-PTB grid point (reference scripts/recog/
+# cls-pointbert-sonn_objbg-32v-middle-dr09-h3-1.sh)
 set -euo pipefail
-cd "$(dirname "$0")/../.."
-python main_cls.py --config configs/experiments/ppt_ptb_sonn_hardest.yaml \
-  --sonn_type obj_bg --exp_name ppt_sonn_objbg "$@"
+exec "$(dirname "$0")/cls_sonn_objbg_dr09_h3.sh" --exp_name ppt_sonn_objbg "$@"

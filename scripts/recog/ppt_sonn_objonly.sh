@@ -1,7 +1,6 @@
 #!/usr/bin/env bash
-# PPT recognition on ScanObjectNN obj_only variant
-# (reference scripts/recog/cls-pointbert-sonn_obj_only-*.sh)
+# PPT recognition on ScanObjectNN obj_only — delegates to the published
+# PPT-PTB grid point (reference scripts/recog/
+# cls-pointbert-sonn_objonly-32v-front-dr07-h3-1.sh)
 set -euo pipefail
-cd "$(dirname "$0")/../.."
-python main_cls.py --config configs/experiments/ppt_ptb_sonn_hardest.yaml \
-  --sonn_type obj_only --exp_name ppt_sonn_objonly "$@"
+exec "$(dirname "$0")/cls_sonn_objonly_dr07_h3.sh" --exp_name ppt_sonn_objonly "$@"
