@@ -106,9 +106,10 @@ def main():
         c, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
         return c
 
-    float(run(pcs4))
+    float(run(pcs4))  # compile
+    float(run(pcs4))  # steady-state warmup (tunnel grant + caches)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):  # best-of-5: tunnel latency jitter is ~10%
         t0 = time.perf_counter()
         float(run(pcs4))
         best = min(best, time.perf_counter() - t0)

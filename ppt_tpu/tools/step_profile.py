@@ -36,20 +36,23 @@ def chain_time(fn, const_args, xs, iters=8, reps=3):
     axon tunnel's remote_compile rejects with HTTP 413 at full-model
     scale)."""
 
-    def body(c, x):
-        out = fn(*const_args, x)
-        leaves = [
-            l for l in jax.tree.leaves(out)
-            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
-        ]
-        s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
-        return c + s * 1e-30, None
-
     @jax.jit
-    def run(const_args, xs):
-        c, _ = jax.lax.scan(
-            lambda c, x: body(c, x), jnp.float32(0.0), xs
-        )
+    def run(c_args, xs):
+        # NOTE: c_args MUST be threaded through the jit parameter, not
+        # captured by closure — closure-captured arrays are embedded in
+        # the serialized module as dense constants, and at full-model
+        # scale (~340 MB of params) the tunnel's remote_compile rejects
+        # the request with HTTP 413.
+        def body(c, x):
+            out = fn(*c_args, x)
+            leaves = [
+                l for l in jax.tree.leaves(out)
+                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+            ]
+            s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+            return c + s * 1e-30, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
         return c
 
     float(run(const_args, xs))  # compile + warm
