@@ -238,7 +238,7 @@ def knn_gather(
     S = new_xyz.shape[1]
     # 256-wide query tiles measured fastest on v5e (4.2 vs 4.8 ms at the
     # PPT-Base shapes); fall back to 128/8 for smaller S
-    s_blk = 256 if S % 256 == 0 else (128 if S % 128 == 0 else 8)
+    s_blk = next(c for c in (256, 128, 64, 32, 16, 8) if S % c == 0)
     assert S % s_blk == 0, f"S={S} must be a multiple of 8"
     n_pad = _round_up(N, 128)
 
@@ -468,12 +468,20 @@ def _ball_query_kernel(
 
     q_ref: [1, S_blk, 3]; xyz_ref: [1, 3, Npad];
     idx/nx/ny/nz_ref: [1, S_blk, nsample]; dist_ref: [S_blk, Npad]
-    scratch holds the in-ball mask as 0/1 floats.
+    scratch holds the "avail" table: each available lane stores its own
+    lane index as f32, taken lanes hold an +inf sentinel. The running
+    min of the table IS the next candidate (ascending-index extraction,
+    the reference's order), and eviction reuses the same ``sel`` mask
+    the gather matmul needs — the loop touches ~4 full-width tiles per
+    pass vs ~9 for the old 0/1-mask formulation (measured-bound on VPU
+    throughput at the PointNeXt stage-1 shape).
     """
     s_blk = q_ref.shape[1]
     n_pad = xyz_ref.shape[2]
     lane = lax.broadcasted_iota(jnp.int32, (s_blk, n_pad), dimension=1)
+    lane_f = lane.astype(jnp.float32)
     valid = lane < n_valid
+    inf = jnp.float32(1e9)
 
     xs = xyz_ref[0, 0:1, :]
     ys = xyz_ref[0, 1:2, :]
@@ -484,7 +492,7 @@ def _ball_query_kernel(
 
     d = (qx - xs) ** 2 + (qy - ys) ** 2 + (qz - zs) ** 2
     in_ball = (d <= radius * radius) & valid
-    dist_ref[:, :] = in_ball.astype(jnp.float32)
+    dist_ref[:, :] = jnp.where(in_ball, lane_f, inf)
     support = xyz_nl_ref[0]  # [Npad, 9] bf16 parts
 
     # fori_loop + one-hot output accumulation for the same scoped-VMEM
@@ -494,15 +502,17 @@ def _ball_query_kernel(
 
     def body(j, carry):
         first, acc_i, acc_x, acc_y, acc_z = carry
-        mask = dist_ref[:, :] > 0.5
-        cand = jnp.min(
-            jnp.where(mask, lane, n_pad), axis=1, keepdims=True
-        )  # [S_blk, 1], n_pad if exhausted
-        found = cand < n_pad
+        cand = jnp.min(dist_ref[:, :], axis=1, keepdims=True)  # [S_blk, 1]
+        found = cand < inf
         # reference pads with the first hit; all-empty queries clamp
-        first = jnp.where(j == 0, jnp.where(found, cand, n_valid - 1), first)
+        first = jnp.where(
+            j == 0, jnp.where(found, cand, jnp.float32(n_valid - 1)), first
+        )
         idx = jnp.where(found, cand, first)
-        sel = lane == idx
+        # exact f32 integer compare (lane < 2^24); sel drives BOTH the
+        # gather matmul and the eviction — when exhausted it re-evicts
+        # `first`, which is already at the sentinel (harmless)
+        sel = lane_f == idx
         g9 = lax.dot_general(
             sel.astype(jnp.bfloat16), support,
             (((1,), (0,)), ((), ())),
@@ -510,17 +520,17 @@ def _ball_query_kernel(
         )  # [S_blk, 9] — one bf16 MXU pass (idx already falls back to first hit)
         g = g9[:, 0:3] + g9[:, 3:6] + g9[:, 6:9]  # exact f32 coords
         oh = (lane_k == j).astype(jnp.float32)  # [S_blk, nsample]
-        dist_ref[:, :] = jnp.where(lane == cand, 0.0, dist_ref[:, :])
+        dist_ref[:, :] = jnp.where(sel, inf, dist_ref[:, :])
         return (
             first,
-            acc_i + idx.astype(jnp.float32) * oh,
+            acc_i + idx * oh,
             acc_x + g[:, 0:1] * oh,
             acc_y + g[:, 1:2] * oh,
             acc_z + g[:, 2:3] * oh,
         )
 
     zero = jnp.zeros((s_blk, nsample), jnp.float32)
-    first0 = jnp.zeros((s_blk, 1), jnp.int32)
+    first0 = jnp.zeros((s_blk, 1), jnp.float32)
     _, acc_i, acc_x, acc_y, acc_z = lax.fori_loop(
         0, nsample, body, (first0, zero, zero, zero, zero)
     )
@@ -555,7 +565,11 @@ def ball_query_gather(
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
-    s_blk = 128 if S % 128 == 0 else 8
+    # largest power-of-two tile dividing S: a small S must not fall to
+    # 8-wide tiles (S=64 with s_blk=8 ran 8x more grid instances, each
+    # paying the full nsample-pass serial loop — measured 14.7 ms for
+    # the B=128 S=64 PointNeXt stage vs ~2 ms at s_blk=64)
+    s_blk = next(c for c in (256, 128, 64, 32, 16, 8) if S % c == 0)
     assert S % s_blk == 0, f"S={S} must be a multiple of 8"
     n_pad = _round_up(N, 128)
 
@@ -611,7 +625,11 @@ def ball_query_gather_feats(
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     F = feats.shape[2]
-    s_blk = 128 if S % 128 == 0 else 8
+    # largest power-of-two tile dividing S: a small S must not fall to
+    # 8-wide tiles (S=64 with s_blk=8 ran 8x more grid instances, each
+    # paying the full nsample-pass serial loop — measured 14.7 ms for
+    # the B=128 S=64 PointNeXt stage vs ~2 ms at s_blk=64)
+    s_blk = next(c for c in (256, 128, 64, 32, 16, 8) if S % c == 0)
     assert S % s_blk == 0, f"S={S} must be a multiple of 8"
     n_pad = _round_up(N, 128)
 
