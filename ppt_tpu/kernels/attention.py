@@ -62,10 +62,6 @@ FLASH_MIN_SEQ = 1024
 # deferred to the [L, D] output (L*D ops instead of L*L).
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def _mha_kernel(
     l_valid: int, heads: int, d: int, scale: float, q_ref, k_ref, v_ref, o_ref
 ):

@@ -238,8 +238,9 @@ def knn_gather(
     S = new_xyz.shape[1]
     # 256-wide query tiles measured fastest on v5e (4.2 vs 4.8 ms at the
     # PPT-Base shapes); fall back to 128/8 for smaller S
-    s_blk = next(c for c in (256, 128, 64, 32, 16, 8) if S % c == 0)
-    assert S % s_blk == 0, f"S={S} must be a multiple of 8"
+    s_blk = next((c for c in (256, 128, 64, 32, 16, 8) if S % c == 0), None)
+    if s_blk is None:
+        raise ValueError(f"S={S} must be a multiple of 8")
     n_pad = _round_up(N, 128)
 
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
@@ -569,8 +570,9 @@ def ball_query_gather(
     # 8-wide tiles (S=64 with s_blk=8 ran 8x more grid instances, each
     # paying the full nsample-pass serial loop — measured 14.7 ms for
     # the B=128 S=64 PointNeXt stage vs ~2 ms at s_blk=64)
-    s_blk = next(c for c in (256, 128, 64, 32, 16, 8) if S % c == 0)
-    assert S % s_blk == 0, f"S={S} must be a multiple of 8"
+    s_blk = next((c for c in (256, 128, 64, 32, 16, 8) if S % c == 0), None)
+    if s_blk is None:
+        raise ValueError(f"S={S} must be a multiple of 8")
     n_pad = _round_up(N, 128)
 
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
@@ -629,8 +631,9 @@ def ball_query_gather_feats(
     # 8-wide tiles (S=64 with s_blk=8 ran 8x more grid instances, each
     # paying the full nsample-pass serial loop — measured 14.7 ms for
     # the B=128 S=64 PointNeXt stage vs ~2 ms at s_blk=64)
-    s_blk = next(c for c in (256, 128, 64, 32, 16, 8) if S % c == 0)
-    assert S % s_blk == 0, f"S={S} must be a multiple of 8"
+    s_blk = next((c for c in (256, 128, 64, 32, 16, 8) if S % c == 0), None)
+    if s_blk is None:
+        raise ValueError(f"S={S} must be a multiple of 8")
     n_pad = _round_up(N, 128)
 
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)

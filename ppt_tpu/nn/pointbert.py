@@ -167,7 +167,10 @@ class MiniPointNet(nn.Module):
                     jnp.sum(w1f * (szz @ w1f), axis=0)
                     + 2.0 * b1f * (sz @ w1f) + n * b1f * b1f
                 ) / n
-                var1 = e2 - mean1 * mean1
+                # clamp: E[x^2]-E[x]^2 can round a hair negative in f32
+                # for near-constant channels; raw sqrt below would NaN
+                # the running stats permanently
+                var1 = jnp.maximum(e2 - mean1 * mean1, 0.0)
             else:
                 bs = self.variables["batch_stats"]
                 mean1, var1 = bs["bn1"]["mean"], bs["bn1"]["var"]
@@ -182,7 +185,7 @@ class MiniPointNet(nn.Module):
                     wl, bsp,
                 )
                 mean2 = sumh / n
-                var2 = sumsqh / n - mean2 * mean2
+                var2 = jnp.maximum(sumsqh / n - mean2 * mean2, 0.0)
             else:
                 mean2, var2 = bs["bn2"]["mean"], bs["bn2"]["var"]
             scale2 = ga2 / jnp.sqrt(var2 + eps)

@@ -32,6 +32,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 log = logging.getLogger(__name__)
 
 
+def _first_slurm_node(nodelist: str) -> str:
+    """First hostname of a SLURM nodelist, expanding the compressed
+    bracket form: ``'node[01-04,07],other'`` -> ``'node01'`` (the
+    reference resolves the coordinator the same way via
+    ``scontrol show hostnames``; this avoids shelling out)."""
+    if not nodelist:
+        return ""
+    # first top-level element (commas inside [...] are range separators)
+    depth, head = 0, nodelist
+    for i, ch in enumerate(nodelist):
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            head = nodelist[:i]
+            break
+    if "[" not in head:
+        return head
+    prefix, rest = head.split("[", 1)
+    spec = rest.split("]", 1)[0].split(",")[0]  # first range/id in brackets
+    first = spec.split("-", 1)[0]
+    return prefix + first
+
+
 def init_multihost(args=None) -> bool:
     """Multi-host (pod-slice) process bring-up.
 
@@ -76,7 +101,7 @@ def init_multihost(args=None) -> bool:
         )
     elif "SLURM_PROCID" in env and "SLURM_NTASKS" in env:
         nodelist = env.get("SLURM_STEP_NODELIST", env.get("SLURM_NODELIST", ""))
-        first = nodelist.split(",")[0].split("[")[0] or "localhost"
+        first = _first_slurm_node(nodelist) or "localhost"
         port = env.get("PPT_COORDINATOR_PORT", "12355")
         kwargs = dict(
             coordinator_address=f"{first}:{port}",
@@ -94,7 +119,11 @@ def init_multihost(args=None) -> bool:
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:  # already initialized (idempotence)
-        if "already initialized" not in str(e).lower():
+        # jax <=0.4 says "already initialized"; jax 0.9 says
+        # "distributed.initialize should only be called once."
+        msg = str(e).lower()
+        if ("already initialized" not in msg
+                and "should only be called once" not in msg):
             raise
     except ValueError as e:
         # metadata discovery unavailable (e.g. tunneled single-chip TPU

@@ -35,9 +35,10 @@ from ppt_tpu.train.trainer import TrainState
 log = logging.getLogger(__name__)
 
 
-def make_dvae_step(model, optimizer, kl_weight: float = 0.1):
+def make_dvae_step(model, optimizer, kl_weight: float = 0.1,
+                   second_order: bool = False):
     def step(state: TrainState, batch, temperature):
-        rng, gumbel_rng = jax.random.split(state.rng)
+        rng, gumbel_rng, hess_rng = jax.random.split(state.rng, 3)
 
         def loss_fn(params):
             ret, mutated = model.apply(
@@ -54,7 +55,15 @@ def make_dvae_step(model, optimizer, kl_weight: float = 0.1):
         (loss, (bs, recon, klv)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.trainable)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
+        extra = {}
+        if second_order:  # adahessian: Hutchinson Hessian diagonal
+            from ppt_tpu.train.optim import hutchinson_diag
+
+            grad_fn = lambda t: jax.grad(loss_fn, has_aux=True)(t)[0]  # noqa: E731
+            extra["hess"] = hutchinson_diag(grad_fn, state.trainable, hess_rng)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.trainable, **extra
+        )
         trainable = optax.apply_updates(state.trainable, updates)
         new_state = state.replace(
             step=state.step + 1, trainable=trainable, batch_stats=bs,
@@ -101,7 +110,10 @@ def main(args: TaskArgs, config: DvaeConfig | None = None) -> Dict:
         rng=jax.random.PRNGKey(args.seed + 1),
     )
     state = replicate(state, mesh)
-    step_fn = make_dvae_step(model, optimizer)
+    step_fn = make_dvae_step(
+        model, optimizer,
+        second_order=args.optim.lower() == "adahessian",
+    )
 
     loader = Loader(train_ds, batch_size=args.batch_size, shuffle=True,
                     drop_last=True, seed=args.seed)

@@ -35,9 +35,10 @@ log = logging.getLogger(__name__)
 
 
 def make_mpm_step(student, dvae, dvae_variables, optimizer, mask_ratio: float,
-                  num_group: int, group_size: int):
+                  num_group: int, group_size: int,
+                  second_order: bool = False):
     def step(state: TrainState, batch):
-        rng, mask_rng, dp_rng = jax.random.split(state.rng, 3)
+        rng, mask_rng, dp_rng, hess_rng = jax.random.split(state.rng, 4)
         pc = batch["pc"]
         neighborhood, center = group_points(pc, num_group, group_size)
         targets = dvae_tokenize(dvae, dvae_variables, neighborhood, center)
@@ -56,7 +57,15 @@ def make_mpm_step(student, dvae, dvae_variables, optimizer, mask_ratio: float,
         (loss, (bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.trainable
         )
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
+        extra = {}
+        if second_order:  # adahessian: Hutchinson Hessian diagonal
+            from ppt_tpu.train.optim import hutchinson_diag
+
+            grad_fn = lambda t: jax.grad(loss_fn, has_aux=True)(t)[0]  # noqa: E731
+            extra["hess"] = hutchinson_diag(grad_fn, state.trainable, hess_rng)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.trainable, **extra
+        )
         trainable = optax.apply_updates(state.trainable, updates)
         new_state = state.replace(
             step=state.step + 1, trainable=trainable, batch_stats=bs,
@@ -135,6 +144,7 @@ def main(
     step_fn = make_mpm_step(
         student, dvae, dvae_variables, optimizer, mask_ratio,
         cfg.num_group, cfg.group_size,
+        second_order=args.optim.lower() == "adahessian",
     )
 
     loader = Loader(train_ds, batch_size=args.batch_size, shuffle=True,

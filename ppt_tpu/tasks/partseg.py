@@ -138,7 +138,8 @@ def train_loop(args: TaskArgs, ctx) -> Dict[str, float]:
     train_ds, test_ds = ctx["train_ds"], ctx["test_ds"]
 
     step_fn = make_train_step(
-        model, optimizer, smoothing=args.label_smoothing, partseg=True
+        model, optimizer, smoothing=args.label_smoothing, partseg=True,
+        second_order=args.optim.lower() == "adahessian",
     )
     eval_fn = make_eval_step(model, partseg=True)
     loader = Loader(train_ds, batch_size=args.batch_size, shuffle=True,

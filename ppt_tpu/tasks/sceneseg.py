@@ -350,13 +350,30 @@ def train_loop(args) -> Dict[str, float]:
     rng = jax.random.PRNGKey(args.seed + 1)
 
     start_epoch = 0
+    resumed_best = 0.0
     if getattr(args, "resume", ""):
         template = SegState(params, opt_state, batch_stats, jnp.asarray(0))
         restored = load_checkpoint(args.resume, template)
         params, opt_state = restored.trainable, restored.opt_state
         batch_stats = restored.batch_stats
         start_epoch = int(restored.step) + 1
-        log.info("resumed from %s at epoch %d", args.resume, start_epoch)
+        # restore the best metric so a worse post-resume epoch cannot
+        # clobber checkpoint_best
+        meta_path = args.resume
+        if not os.path.isdir(meta_path):
+            meta_path = os.path.dirname(meta_path)
+        meta_file = os.path.join(meta_path, "checkpoint_best.json")
+        if os.path.exists(meta_file):
+            import json as _json
+
+            with open(meta_file) as f:
+                meta = _json.load(f)
+            resumed_best = max(
+                float(meta.get("miou", 0.0) or 0.0),
+                float(meta.get("train_miou", 0.0) or 0.0),
+            )
+        log.info("resumed from %s at epoch %d (best mIoU %.2f)",
+                 args.resume, start_epoch, resumed_best)
 
     logger = ExperimentLogger(args, task_name="sceneseg")
     smoothing = float(getattr(args, "label_smoothing", 0.0))
@@ -368,7 +385,8 @@ def train_loop(args) -> Dict[str, float]:
                     drop_last=True, seed=args.seed)
 
     miou_key = "miou" if eval_split_name == "val" else "train_miou"
-    best_miou = 0.0
+    best_miou = resumed_best
+    cm = None  # last crop-eval confusion matrix (loop may not run)
     history = []
     for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
@@ -410,9 +428,18 @@ def train_loop(args) -> Dict[str, float]:
     result = {"best_miou": best_miou, "history": history}
 
     if getattr(args, "eval_scene", False):
+        # evaluate the BEST checkpoint, not the final epoch (reference
+        # protocol: segmentation main.py tests the best model)
+        eval_params, eval_bs = params, batch_stats
+        if os.path.exists(os.path.join(logger.dir, "checkpoint_best.msgpack")):
+            best = load_checkpoint(
+                logger.dir,
+                SegState(params, opt_state, batch_stats, jnp.asarray(0)),
+            )
+            eval_params, eval_bs = best.trainable, best.batch_stats
         scenes = _load_eval_scenes(args)
         cm = whole_scene_eval(
-            eval_fn, params, batch_stats, scenes,
+            eval_fn, eval_params, eval_bs, scenes,
             npoints=args.npoints, num_classes=num_classes,
             voxel_size=getattr(args, "voxel_size", 0.04),
             batch_size=max(1, args.batch_size),
@@ -430,13 +457,16 @@ def train_loop(args) -> Dict[str, float]:
                 args.cm_out, matrix=cm.matrix,
                 classnames=np.asarray(scenes.classnames, dtype=object),
             )
-    elif getattr(args, "cm_out", ""):
+    elif getattr(args, "cm_out", "") and cm is not None:
         log.warning("--cm_out without --eval_scene: writing the crop-eval "
                     "confusion matrix")
         np.savez(
             args.cm_out, matrix=cm.matrix,
             classnames=np.asarray(train_ds.classnames, dtype=object),
         )
+    elif getattr(args, "cm_out", ""):
+        log.warning("--cm_out: no evaluation ran (no epochs, no "
+                    "--eval_scene) — nothing written")
 
     logger.close()
     return result

@@ -114,3 +114,18 @@ def test_two_process_cpu_bringup(tmp_path):
     assert sorted(r0["local"] + r1["local"]) == sorted(r0["global_labels"])
     # (b) the reduced global loss is identical on both ranks
     assert r0["loss"] == r1["loss"] == float(sum(r0["global_labels"]))
+
+
+def test_first_slurm_node_expansion():
+    """Compressed SLURM nodelists must resolve to a real first hostname
+    (reference parity: the reference shells out to `scontrol show
+    hostnames`; utils/utils.py:130-132)."""
+    from ppt_tpu.parallel.mesh import _first_slurm_node
+
+    assert _first_slurm_node("tpu-host001") == "tpu-host001"
+    assert _first_slurm_node("nodeA,nodeB") == "nodeA"
+    assert _first_slurm_node("node[01-04]") == "node01"
+    assert _first_slurm_node("node[01-04,07],other") == "node01"
+    assert _first_slurm_node("node[3,5]") == "node3"
+    assert _first_slurm_node("a[1-2],b[3-4]") == "a1"
+    assert _first_slurm_node("") == ""

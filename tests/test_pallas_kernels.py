@@ -283,6 +283,26 @@ class TestFusedMiniPointNet:
                 np.asarray(g), np.asarray(w), rtol=2e-2, atol=2e-3
             )
 
+    def test_train_constant_input_keeps_stats_finite(self, monkeypatch):
+        """E[x^2]-E[x]^2 rounds NEGATIVE in f32 for a constant channel
+        at a large offset (measured -0.14 at offset 123.456); without
+        the clamp, sqrt(var) NaN-poisons the running batch stats
+        permanently."""
+        import jax
+
+        from ppt_tpu.nn.pointbert import MiniPointNet
+
+        mini = MiniPointNet(256, dtype=jnp.float32)
+        groups = jnp.full((2, 8, 8, 3), 123.456, jnp.float32)
+        variables = mini.init(jax.random.PRNGKey(0), groups[:1])
+        monkeypatch.setenv("PPT_FORCE_FUSED_MINI", "1")
+        out, mut = mini.apply(
+            variables, groups, True, mutable=["batch_stats"]
+        )
+        assert np.all(np.isfinite(np.asarray(out)))
+        for leaf in jax.tree.leaves(mut["batch_stats"]):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
     def test_grads_flow_through_fused(self, rng, monkeypatch):
         import jax
 
@@ -328,3 +348,16 @@ class TestBallQueryGatherFeats:
         np.testing.assert_array_equal(
             np.asarray(fj).astype(np.float32), want_fj.astype(np.float32)
         )
+
+
+def test_ball_query_gather_rejects_non_multiple_of_8():
+    """The s_blk chooser must raise the intended diagnostic, not a bare
+    StopIteration, for S not divisible by 8."""
+    import pytest
+
+    from ppt_tpu.kernels.group import ball_query_gather
+
+    xyz = jnp.zeros((1, 128, 3))
+    q = jnp.zeros((1, 100, 3))  # 100 % 8 != 0
+    with pytest.raises(ValueError, match="multiple of 8"):
+        ball_query_gather(0.2, 8, xyz, q, interpret=True)

@@ -164,3 +164,37 @@ def test_whole_scene_eval_exact_coverage(rng):
     )
     assert cm.matrix.sum() == n  # every raw point counted exactly once
     assert cm.matrix[:, 2].sum() == n  # all predicted class 2
+
+
+def test_sceneseg_resume_restores_best_miou(tmp_path, rng):
+    """Resume must restore the saved best metric so a worse first
+    post-resume epoch cannot clobber checkpoint_best (VERDICT r3
+    review finding)."""
+    import json
+
+    _fixture(str(tmp_path), rng)
+    out_dir = str(tmp_path / "out")
+    args = _Args(data_path=str(tmp_path), output_dir=out_dir,
+                 exp_name="run1")
+    train_loop(args)
+    ckpt_dir = os.path.join(out_dir, "run1")
+    meta_file = os.path.join(ckpt_dir, "checkpoint_best.json")
+    # forge a high best so any real epoch is worse
+    with open(meta_file) as f:
+        meta = json.load(f)
+    key = "miou" if "miou" in meta else "train_miou"
+    meta[key] = 99.9
+    with open(meta_file, "w") as f:
+        json.dump(meta, f)
+    ckpt_bytes = open(
+        os.path.join(ckpt_dir, "checkpoint_best.msgpack"), "rb"
+    ).read()
+    args2 = _Args(data_path=str(tmp_path), output_dir=out_dir,
+                  exp_name="run1", resume=ckpt_dir, epochs=2)
+    out = train_loop(args2)
+    # best not clobbered: reported best stays at the forged value and
+    # the checkpoint file is byte-identical
+    assert out["best_miou"] == 99.9
+    assert open(
+        os.path.join(ckpt_dir, "checkpoint_best.msgpack"), "rb"
+    ).read() == ckpt_bytes
