@@ -71,15 +71,25 @@ def _mha_kernel(
     and are processed by a static in-kernel loop with static column
     slices.
 
-    Padded KV columns are masked to -inf before the softmax; padded Q
-    rows compute garbage that the wrapper slices off (they cannot NaN:
-    their scores against valid columns are finite).
+    The wrapper passes the UNPADDED [B, L, H*D] arrays with an
+    Lp-tall block (Lp = L rounded up to 128): Mosaic serves the
+    out-of-bounds rows as undefined garbage and drops out-of-bounds
+    writes, so no HBM pad/slice round-trip exists at all. In-kernel:
+    KV columns >= l_valid are masked to -inf before the softmax (a
+    garbage K row only ever lands in those masked columns); V's
+    garbage rows are zeroed because their probability weights are
+    exactly 0 and IEEE 0*NaN would otherwise poison the PV matmul;
+    garbage Q rows compute garbage output rows whose writes Mosaic
+    drops (they cannot contaminate valid rows: attention mixes over
+    the masked column axis only).
     """
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         q = q_ref[0, :, sl]
         k = k_ref[0, :, sl]
         v = v_ref[0, :, sl]
+        row = lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(row < l_valid, v, 0)  # undefined tail rows -> 0
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [Lp, Lp] — never leaves VMEM
@@ -96,17 +106,45 @@ def _mha_kernel(
         o_ref[0, :, sl] = (acc / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pad_free() -> bool:
+    """Pad-free edge-block formulation gate. Verified exact in
+    interpret mode (incl. non-multiple L); flip the default to on once
+    `kernel_check`'s fused_mha row has passed on the real chip —
+    until then the HBM-padded formulation (battle-tested on-chip since
+    the 931→1105 clouds/sec measurement) stays the default."""
+    import os
+
+    return os.environ.get("PPT_MHA_PADFREE", "0") != "0"
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "pad_free"))
 def _mha_pallas(
-    q: jax.Array, k: jax.Array, v: jax.Array, *, interpret: bool = False
+    q: jax.Array, k: jax.Array, v: jax.Array, *,
+    interpret: bool = False, pad_free: bool | None = None
 ) -> jax.Array:
-    """[B, L, H, D] attention with whole-row VMEM-resident scores."""
+    """[B, L, H, D] attention with whole-row VMEM-resident scores.
+
+    Pad-free mode: the kernel block is Lp=round_up(L, 128) tall over
+    the L-tall arrays (Mosaic masks the edge block), so the 3 input
+    pads + output slice the padded formulation pays per call (~28 MB
+    x 4 x 12 blocks ~= 1.3 GB HBM/step at the PPT ViT shape) never
+    happen. Padded mode materializes zero-padded copies in HBM.
+    """
     B, L, H, D = q.shape
     Lp = _round_up(L, 128)
-    pad = ((0, 0), (0, Lp - L), (0, 0), (0, 0))
-    qp, kp, vp = (
-        jnp.pad(t, pad).reshape(B, Lp, H * D) for t in (q, k, v)
-    )  # free reshape: (H, D) are the contiguous trailing dims
+    if pad_free is None:
+        pad_free = _pad_free()
+    if pad_free or Lp == L:
+        qp, kp, vp = (
+            t.reshape(B, L, H * D) for t in (q, k, v)
+        )  # free reshape: (H, D) are the contiguous trailing dims
+        l_in = L
+    else:
+        pad = ((0, 0), (0, Lp - L), (0, 0), (0, 0))
+        qp, kp, vp = (
+            jnp.pad(t, pad).reshape(B, Lp, H * D) for t in (q, k, v)
+        )
+        l_in = Lp
     spec = pl.BlockSpec(
         (1, Lp, H * D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
     )
@@ -115,10 +153,10 @@ def _mha_pallas(
         grid=(B,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, Lp, H * D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, l_in, H * D), q.dtype),
         interpret=interpret,
     )(qp, kp, vp)
-    return out.reshape(B, Lp, H, D)[:, :L]
+    return out.reshape(B, l_in, H, D)[:, :L]
 
 
 def _mha_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
