@@ -1,0 +1,253 @@
+"""Fully-fused PointBERT ViT block: one Pallas kernel per transformer
+block.
+
+Round-3 profiling (docs/PROFILE_r03.md) left the 12 ViT blocks at
+9.8 ms of the 25.3 ms step with only ~3.5 ms of that being MXU time —
+the rest is HBM round-trips between the block's ops: the per-block
+pos-add, two LayerNorm outputs, the qkv tensor, the attention output,
+the proj output, the 4x-wide MLP hidden, and two residual writes
+(~190 MB/block at [32, 513, 384] bf16). This kernel computes the WHOLE
+block — x+pos, LN1, QKV projection, whole-row attention, output
+projection, droppath-scaled residual, LN2, MLP (gelu), second residual
+— per batch element in VMEM, reading x/pos once and writing x' once
+(~25 MB/block).
+
+Semantics match ``ppt_tpu.nn.pointbert.VitBlock`` (reference ``Block``,
+``models/pointbert/point_encoder.py:61-79``) in bf16 compute:
+LayerNorm statistics in f32 (flax promotes), matmuls with f32
+accumulation cast back to bf16, softmax in f32 (the fused_mha
+upgrade), tanh-approximated GELU (``nn.gelu`` default), DropPath as a
+per-sample branch scale in {0, 1/keep} supplied by the wrapper.
+
+Like ``fused_mha``'s pad-free mode, the kernel block is Lp-tall over
+the L-tall arrays: Mosaic serves the out-of-bounds tail rows as
+undefined values and drops out-of-bounds writes. KV tail columns are
+masked to -inf; V tail rows are zeroed (0*NaN would poison the PV
+matmul); everything else is row-local, so garbage tail rows cannot
+contaminate valid rows.
+
+Backward: custom VJP recomputing through the XLA twin — dead code for
+the frozen flagship tower (prompt-only partition), exact for partial
+tuning head types.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-6  # nn.LayerNorm default in flax
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _ln_f32(x32, scale, bias):
+    """LayerNorm over the lane axis, f32 in/out (flax fast-variance)."""
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
+    xn = (x32 - mu) * lax.rsqrt(var + LN_EPS)
+    return xn * scale + bias
+
+
+def _gelu_tanh(x32):
+    """nn.gelu(approximate=True): 0.5x(1+tanh(sqrt(2/pi)(x+0.044715x^3)))."""
+    c = math.sqrt(2.0 / math.pi)
+    return 0.5 * x32 * (1.0 + jnp.tanh(c * (x32 + 0.044715 * x32 * x32 * x32)))
+
+
+def _block_kernel(
+    l_valid: int, heads: int, d: int, dtype,
+    x_ref, pos_ref, dp_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref,
+    wproj_ref, bproj_ref,
+    ln2s_ref, ln2b_ref,
+    wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    o_ref,
+):
+    c = heads * d
+    scale = 1.0 / math.sqrt(d)
+    # x0 = x + pos in compute dtype (matches the XLA path's bf16 add)
+    x0 = x_ref[0] + pos_ref[0]  # [Lp, C]
+
+    # --- attention sublayer -------------------------------------------
+    xn = _ln_f32(
+        x0.astype(jnp.float32), ln1s_ref[0], ln1b_ref[0]
+    ).astype(dtype)
+    qkv = lax.dot_general(
+        xn, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)  # [Lp, 3C]
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * d : (h + 1) * d]
+        k = qkv[:, c + h * d : c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d : 2 * c + (h + 1) * d]
+        row = lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(row < l_valid, v, 0)  # undefined tail rows -> 0
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [Lp, Lp], VMEM-resident
+        lane = lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(lane < l_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        acc = lax.dot_general(
+            p.astype(dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((acc / denom).astype(dtype))  # [Lp, D]
+    attn = jnp.concatenate(outs, axis=1)  # [Lp, C]
+    y = lax.dot_general(
+        attn, wproj_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype) + bproj_ref[0].astype(dtype)
+    x1 = x0 + y * dp_ref[0, 0].astype(dtype)
+
+    # --- MLP sublayer --------------------------------------------------
+    xn2 = _ln_f32(
+        x1.astype(jnp.float32), ln2s_ref[0], ln2b_ref[0]
+    ).astype(dtype)
+    h1 = lax.dot_general(
+        xn2, wfc1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bfc1_ref[0]  # f32 [Lp, 4C]
+    h1 = _gelu_tanh(h1).astype(dtype)
+    y2 = lax.dot_general(
+        h1, wfc2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype) + bfc2_ref[0].astype(dtype)
+    o_ref[0] = x1 + y2 * dp_ref[0, 1].astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _block_pallas(
+    x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+    wfc1, bfc1, wfc2, bfc2, *, heads: int, interpret: bool = False
+):
+    """x/pos: [B, L, C]; dp: [B, 2] f32 branch scales; weights pre-cast
+    to the compute dtype by the caller; LN params f32."""
+    B, L, C = x.shape
+    d = C // heads
+    Lp = _round_up(L, 128)
+    hid = wfc1.shape[1]
+
+    def rowspec(n_lanes):
+        return pl.BlockSpec(
+            (1, Lp, n_lanes), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def wspec(r, c_):
+        return pl.BlockSpec((r, c_), lambda b: (0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_block_kernel, L, heads, d, x.dtype),
+        grid=(B,),
+        in_specs=[
+            rowspec(C),  # x
+            rowspec(C),  # pos
+            pl.BlockSpec((1, 2), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            wspec(1, C), wspec(1, C),          # ln1 scale/bias
+            wspec(C, 3 * C),                   # wqkv
+            wspec(C, C), wspec(1, C),          # wproj, bproj
+            wspec(1, C), wspec(1, C),          # ln2 scale/bias
+            wspec(C, hid), wspec(1, hid),      # fc1
+            wspec(hid, C), wspec(1, C),        # fc2
+        ],
+        out_specs=rowspec(C),
+        out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
+        interpret=interpret,
+    )(
+        x, pos, dp,
+        ln1s[None], ln1b[None], wqkv, wproj, bproj[None],
+        ln2s[None], ln2b[None], wfc1, bfc1[None], wfc2, bfc2[None],
+    )
+    return out
+
+
+def _block_twin(
+    x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+    wfc1, bfc1, wfc2, bfc2, *, heads: int
+):
+    """XLA twin of ``_block_kernel``'s math — golden for tests, VJP
+    source. Shapes as in ``_block_pallas``."""
+    B, L, C = x.shape
+    d = C // heads
+    dtype = x.dtype
+    x0 = x + pos
+
+    def mm(a, b):  # f32-accumulated matmul over the last/first axes
+        return lax.dot_general(
+            a, b, (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    xn = _ln_f32(x0.astype(jnp.float32), ln1s, ln1b).astype(dtype)
+    qkv = mm(xn, wqkv).astype(dtype)  # [B, L, 3C]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def sh(t):
+        return t.reshape(B, L, heads, d)
+
+    s = jnp.einsum(
+        "blhd,bmhd->bhlm", sh(q), sh(k),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / math.sqrt(d))
+    p = jax.nn.softmax(s, axis=-1)
+    attn = jnp.einsum(
+        "bhlm,bmhd->blhd", p.astype(dtype), sh(v),
+        preferred_element_type=jnp.float32,
+    )
+    attn = attn.astype(dtype).reshape(B, L, C)
+    y = mm(attn, wproj).astype(dtype) + bproj.astype(dtype)
+    x1 = x0 + y * dp[:, None, 0:1].astype(dtype)
+
+    xn2 = _ln_f32(x1.astype(jnp.float32), ln2s, ln2b).astype(dtype)
+    h1 = mm(xn2, wfc1) + bfc1  # f32 accum
+    h1 = _gelu_tanh(h1.astype(jnp.float32)).astype(dtype)
+    y2 = mm(h1, wfc2).astype(dtype) + bfc2.astype(dtype)
+    return x1 + y2 * dp[:, None, 1:2].astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14,))
+def fused_vit_block(
+    x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+    wfc1, bfc1, wfc2, bfc2, heads
+):
+    """Whole ViT block fused (Pallas forward, XLA recompute VJP).
+
+    The flagship point tower is a frozen partition — no parameter
+    gradient flows through it, so the backward is XLA dead code there;
+    for partial-tuning head types the recompute VJP differentiates the
+    twin (same math as the kernel).
+    """
+    from ppt_tpu.kernels.attention import _is_tpu
+
+    return _block_pallas(
+        x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+        wfc1, bfc1, wfc2, bfc2, heads=heads, interpret=not _is_tpu(),
+    )
+
+
+def _fvb_fwd(x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+             wfc1, bfc1, wfc2, bfc2, heads):
+    args = (x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+            wfc1, bfc1, wfc2, bfc2)
+    return fused_vit_block(*args, heads), args
+
+
+def _fvb_bwd(heads, res, g):
+    _, vjp = jax.vjp(lambda *a: _block_twin(*a, heads=heads), *res)
+    return vjp(g)
+
+
+fused_vit_block.defvjp(_fvb_fwd, _fvb_bwd)

@@ -280,7 +280,12 @@ class VitAttention(nn.Module):
 
 
 class VitBlock(nn.Module):
-    """Pre-norm ViT block (``Block``, point_encoder.py:61-79)."""
+    """Pre-norm ViT block (``Block``, point_encoder.py:61-79).
+
+    ``pos`` (optional): PointBERT adds the position embedding before
+    EVERY block (point_encoder.py:98-110); passing it here instead of
+    pre-adding lets the fused whole-block kernel consume it in VMEM.
+    """
 
     num_heads: int
     drop_path: float = 0.0
@@ -288,8 +293,57 @@ class VitBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, deterministic: bool = True,
+        pos: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        import os
+
+        from ppt_tpu.kernels.attention import _is_tpu
+
         C = x.shape[-1]
+        # Whole-block fused Pallas kernel (kernels/vitblock.py): x+pos,
+        # LN1, qkv, whole-row attention, proj, droppath residual, LN2,
+        # MLP, residual — one VMEM pass per batch element. Opt-in via
+        # PPT_FUSED_BLOCK=1 until kernel_check's vit_block row has
+        # passed on the real chip.
+        use_fused = (
+            not self.is_initializing()
+            and pos is not None
+            and os.environ.get("PPT_FUSED_BLOCK") == "1"
+        )
+        if use_fused:
+            from ppt_tpu.kernels.vitblock import fused_vit_block
+
+            p = self.variables["params"]
+            dt = self.dtype
+            B = x.shape[0]
+            if deterministic or self.drop_path == 0.0:
+                dp = jnp.ones((B, 2), jnp.float32)
+            else:
+                keep = 1.0 - self.drop_path
+                m1 = jax.random.bernoulli(
+                    self.make_rng("droppath"), keep, (B,)
+                ).astype(jnp.float32) / keep
+                m2 = jax.random.bernoulli(
+                    self.make_rng("droppath"), keep, (B,)
+                ).astype(jnp.float32) / keep
+                dp = jnp.stack([m1, m2], axis=1)
+            return fused_vit_block(
+                x, pos.astype(x.dtype), dp,
+                p["norm1"]["scale"], p["norm1"]["bias"],
+                p["attn"]["qkv"]["kernel"].astype(dt),
+                p["attn"]["proj"]["kernel"].astype(dt),
+                p["attn"]["proj"]["bias"],
+                p["norm2"]["scale"], p["norm2"]["bias"],
+                p["mlp"]["fc1"]["kernel"].astype(dt),
+                p["mlp"]["fc1"]["bias"],
+                p["mlp"]["fc2"]["kernel"].astype(dt),
+                p["mlp"]["fc2"]["bias"],
+                self.num_heads,
+            )
+        if pos is not None:
+            x = x + pos
         # LN stats are fp32 inside flax either way; emitting the
         # normalized tokens in compute dtype halves 24 LN outputs' HBM
         # traffic per step (text-tower LNs stay fp32 — parity quirk)
@@ -345,7 +399,7 @@ class PointBert(nn.Module):
                 drop_path=float(rates[i]),
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x + pos, deterministic=not train)
+            )(x, deterministic=not train, pos=pos)
 
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         return jnp.concatenate([x[:, 0], jnp.max(x[:, 1:], axis=1)], axis=-1)
@@ -477,7 +531,7 @@ class PointBertPartSeg(nn.Module):
                 drop_path=float(rates[i]),
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x + pos, deterministic=not train)
+            )(x, deterministic=not train, pos=pos)
             if i in fetch_idx:
                 feats.append(norm(x)[:, 1:])  # drop cls token: [B, G, D]
 

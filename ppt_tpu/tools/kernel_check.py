@@ -192,6 +192,50 @@ def main() -> int:
         check(f"fused_mha[32,513,6,64].{name}", finite and err < 3e-2,
               f"max abs err {err:.2e} vs f32-softmax twin, finite={finite}")
 
+    # --- fused whole ViT block at the production shape -----------------
+    from ppt_tpu.kernels.vitblock import _block_pallas, _block_twin
+
+    C, H = 384, 6
+    xb = jnp.asarray(
+        rng.rand(32, 513, C).astype(np.float32) - 0.5
+    ).astype(jnp.bfloat16)
+    posb = jnp.asarray(
+        rng.rand(32, 513, C).astype(np.float32) - 0.5
+    ).astype(jnp.bfloat16)
+    dp = jnp.ones((32, 2), jnp.float32)
+    wq = (jnp.asarray(rng.randn(C, 3 * C).astype(np.float32)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    wp = (jnp.asarray(rng.randn(C, C).astype(np.float32)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    bp = jnp.asarray(rng.randn(C).astype(np.float32)) * 0.05
+    w1 = (jnp.asarray(rng.randn(C, 4 * C).astype(np.float32)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    b1 = jnp.asarray(rng.randn(4 * C).astype(np.float32)) * 0.05
+    w2 = (jnp.asarray(rng.randn(4 * C, C).astype(np.float32)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    b2 = jnp.asarray(rng.randn(C).astype(np.float32)) * 0.05
+    ones = jnp.ones((C,), jnp.float32)
+    zeros = jnp.zeros((C,), jnp.float32)
+    bargs = (xb, posb, dp, ones, zeros, wq, wp, bp, ones, zeros,
+             w1, b1, w2, b2)
+    got_b = np.asarray(
+        jax.jit(
+            lambda *a: _block_pallas(*a, heads=H).astype(jnp.float32)
+        )(*bargs)
+    )
+    want_bk = np.asarray(
+        jax.jit(lambda *a: _block_twin(*a, heads=H))(*bargs)
+    ).astype(np.float32)
+    scale_b = float(np.max(np.abs(want_bk))) or 1.0
+    err = float(np.max(np.abs(got_b - want_bk))) / scale_b
+    finite = bool(np.all(np.isfinite(got_b)))
+    check("vit_block[32,513,384]", finite and err < 3e-2,
+          f"max rel err {err:.2e} vs XLA twin, finite={finite}")
+
     # --- fused MiniPointNet vs the unfused XLA path (production wiring) ---
     import os
 

@@ -361,3 +361,124 @@ def test_ball_query_gather_rejects_non_multiple_of_8():
     q = jnp.zeros((1, 100, 3))  # 100 % 8 != 0
     with pytest.raises(ValueError, match="multiple of 8"):
         ball_query_gather(0.2, 8, xyz, q, interpret=True)
+
+
+class TestFusedVitBlock:
+    """kernels/vitblock.py — whole-block fusion vs the plain flax block."""
+
+    def _params(self, rng, C=128, heads=4):
+        import jax
+
+        from ppt_tpu.nn.pointbert import VitBlock
+
+        block = VitBlock(heads, dtype=jnp.bfloat16)
+        x = jnp.asarray(rng.randn(2, 69, C).astype(np.float32))
+        pos = jnp.asarray(rng.randn(2, 69, C).astype(np.float32))
+        variables = block.init(jax.random.PRNGKey(0), x[:1])
+        return block, variables, x.astype(jnp.bfloat16), pos.astype(jnp.bfloat16)
+
+    def test_eval_matches_plain_block(self, rng, monkeypatch):
+        block, variables, x, pos = self._params(rng)
+        want = np.asarray(
+            block.apply(variables, x, True, pos)
+        ).astype(np.float32)
+        monkeypatch.setenv("PPT_FUSED_BLOCK", "1")
+        got = np.asarray(
+            block.apply(variables, x, True, pos)
+        ).astype(np.float32)
+        assert got.shape == want.shape
+        scale = np.max(np.abs(want)) or 1.0
+        assert np.max(np.abs(got - want)) / scale < 3e-2
+
+    def test_twin_matches_kernel_exactly(self, rng):
+        """The XLA twin (VJP source) and the interpret-mode kernel share
+        dtype discipline; at f32 they must agree to float rounding."""
+        import jax
+
+        from ppt_tpu.kernels.vitblock import _block_pallas, _block_twin
+
+        C, H = 128, 4
+        x = jnp.asarray(rng.randn(2, 69, C).astype(np.float32))
+        pos = jnp.asarray(rng.randn(2, 69, C).astype(np.float32))
+        dp = jnp.asarray([[1.0, 1.0], [0.0, 2.0]], jnp.float32)
+        wq = jnp.asarray(rng.randn(C, 3 * C).astype(np.float32)) * 0.05
+        wp = jnp.asarray(rng.randn(C, C).astype(np.float32)) * 0.05
+        bp = jnp.asarray(rng.randn(C).astype(np.float32)) * 0.05
+        w1 = jnp.asarray(rng.randn(C, 4 * C).astype(np.float32)) * 0.05
+        b1 = jnp.asarray(rng.randn(4 * C).astype(np.float32)) * 0.05
+        w2 = jnp.asarray(rng.randn(4 * C, C).astype(np.float32)) * 0.05
+        b2 = jnp.asarray(rng.randn(C).astype(np.float32)) * 0.05
+        ones = jnp.ones((C,), jnp.float32)
+        zeros = jnp.zeros((C,), jnp.float32)
+        args = (x, pos, dp, ones, zeros, wq, wp, bp, ones, zeros,
+                w1, b1, w2, b2)
+        got = np.asarray(_block_pallas(*args, heads=H, interpret=True))
+        want = np.asarray(_block_twin(*args, heads=H))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_grads_flow_and_match(self, rng, monkeypatch):
+        import jax
+
+        block, variables, x, pos = self._params(rng)
+
+        def loss(v, x, env):
+            return jnp.sum(jnp.sin(block.apply(v, x, True, pos)))
+
+        g_plain = jax.grad(loss, argnums=(0, 1))(variables, x, 0)
+        monkeypatch.setenv("PPT_FUSED_BLOCK", "1")
+        g_fused = jax.grad(loss, argnums=(0, 1))(variables, x, 1)
+        gx_p = np.asarray(g_plain[1]).astype(np.float32)
+        gx_f = np.asarray(g_fused[1]).astype(np.float32)
+        scale = np.max(np.abs(gx_p)) or 1.0
+        assert np.max(np.abs(gx_p - gx_f)) / scale < 5e-2
+        # parameter grads exist and are close on the qkv kernel
+        qk_p = np.asarray(
+            g_plain[0]["params"]["attn"]["qkv"]["kernel"]
+        ).astype(np.float32)
+        qk_f = np.asarray(
+            g_fused[0]["params"]["attn"]["qkv"]["kernel"]
+        ).astype(np.float32)
+        scale = np.max(np.abs(qk_p)) or 1.0
+        assert np.max(np.abs(qk_p - qk_f)) / scale < 5e-2
+
+    def test_droppath_train_mode(self, rng, monkeypatch):
+        import jax
+
+        from ppt_tpu.nn.pointbert import VitBlock
+
+        block = VitBlock(4, drop_path=0.5, dtype=jnp.float32)
+        x = jnp.asarray(rng.randn(4, 69, 128).astype(np.float32))
+        pos = jnp.asarray(rng.randn(4, 69, 128).astype(np.float32))
+        variables = block.init(jax.random.PRNGKey(0), x[:1])
+        monkeypatch.setenv("PPT_FUSED_BLOCK", "1")
+        out = block.apply(
+            variables, x, False, pos,
+            rngs={"droppath": jax.random.PRNGKey(7)},
+        )
+        assert np.all(np.isfinite(np.asarray(out)))
+        # with rate 0.5 and 4 samples x 2 branches, some branch must
+        # actually drop: dropped attn branch => row equals x+pos+mlp
+        # branch only; just assert the output differs from eval mode
+        out_eval = block.apply(variables, x, True, pos)
+        assert not np.allclose(np.asarray(out), np.asarray(out_eval))
+
+    def test_full_pointbert_fused_vs_plain(self, rng, monkeypatch):
+        """End-to-end trunk equivalence at a tiny config (fused blocks
+        engage through the real PointBert loop, incl. cls token and the
+        per-block pos quirk)."""
+        import jax
+
+        from ppt_tpu.nn.pointbert import PointBert, PointBertConfig
+
+        cfg = PointBertConfig(
+            trans_dim=128, depth=2, num_heads=4, group_size=8,
+            num_group=16, encoder_dims=32, drop_path_rate=0.0,
+        )
+        model = PointBert(config=cfg, dtype=jnp.bfloat16)
+        pts = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), pts)
+        want = np.asarray(model.apply(variables, pts)).astype(np.float32)
+        monkeypatch.setenv("PPT_FUSED_BLOCK", "1")
+        got = np.asarray(model.apply(variables, pts)).astype(np.float32)
+        scale = np.max(np.abs(want)) or 1.0
+        assert np.max(np.abs(got - want)) / scale < 3e-2
