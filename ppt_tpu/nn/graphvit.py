@@ -159,7 +159,7 @@ class GraphVit3d(nn.Module):
             h = VitBlock(
                 cfg.num_heads, drop_path=float(rates[i]),
                 mlp_ratio=cfg.mlp_ratio, dtype=self.dtype, name=f"block_{i}",
-            )(h + pos, deterministic=not train)
+            )(h, deterministic=not train, pos=pos)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm")(h)
         return center, h
 

@@ -95,7 +95,8 @@ class MaskedPointMAE(nn.Module):
         h = kept
         for i in range(cfg.depth):
             h = VitBlock(cfg.num_heads, dtype=self.dtype,
-                         name=f"block_{i}")(h + pos_enc, deterministic=not train)
+                         name=f"block_{i}")(h, deterministic=not train,
+                                                pos=pos_enc)
         h = nn.LayerNorm(dtype=jnp.float32, name="enc_norm")(h).astype(self.dtype)
 
         # restore original order with mask tokens, add full pos embeds
@@ -112,8 +113,8 @@ class MaskedPointMAE(nn.Module):
         d = full
         for i in range(cfg.decoder_depth):
             d = VitBlock(cfg.num_heads, dtype=self.dtype,
-                         name=f"dec_block_{i}")(d + pos_dec,
-                                                deterministic=not train)
+                         name=f"dec_block_{i}")(d, deterministic=not train,
+                                                pos=pos_dec)
         d = nn.LayerNorm(dtype=jnp.float32, name="dec_norm")(d).astype(self.dtype)
         pred = nn.Dense(cfg.group_size * 3, dtype=self.dtype,
                         name="head")(d)

@@ -88,7 +88,7 @@ class PointBertMPM(nn.Module):
             x = VitBlock(
                 cfg.num_heads, drop_path=float(rates[i]), dtype=self.dtype,
                 name=f"block_{i}",
-            )(x + pos, deterministic=not train)
+            )(x, deterministic=not train, pos=pos)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         logits = nn.Dense(self.num_tokens, dtype=self.dtype, name="lm_head")(
             x[:, 1:]

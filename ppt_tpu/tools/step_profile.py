@@ -224,7 +224,9 @@ def main():
             @fnn.compact
             def __call__(self, x, pos):
                 for i in range(12):
-                    x = VitBlock(6, dtype=self.dtype, name=f"block_{i}")(x + pos)
+                    x = VitBlock(6, dtype=self.dtype, name=f"block_{i}")(
+                        x, pos=pos
+                    )
                 return x
 
         trunk = Trunk()
