@@ -345,7 +345,22 @@ def train_loop(args) -> Dict[str, float]:
     schedule = optax.cosine_decay_schedule(args.lr, max(
         args.epochs * max(len(train_ds.points) // args.batch_size, 1), 1
     ))
-    optimizer = optax.adamw(schedule, weight_decay=getattr(args, 'wd', 1e-4))
+    # optimizer by name, like the reference seg example's
+    # build_optimizer_from_cfg (PointNeXt/examples/segmentation/main.py)
+    # — adamw is its s3dis default
+    optim_name = (getattr(args, "optim", "") or "adamw").lower()
+    if optim_name == "adahessian":
+        raise ValueError(
+            "sceneseg's train step does not thread the Hessian diagonal; "
+            "use adamw/sgd/lamb/... (adahessian is supported by the "
+            "cls/partseg/pretraining drivers)"
+        )
+    from ppt_tpu.train.optim import build_optimizer
+
+    optimizer = build_optimizer(
+        optim_name, schedule, weight_decay=getattr(args, "wd", 1e-4),
+        betas=(0.9, 0.999),  # torch/openpoints AdamW default
+    )
     opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(args.seed + 1)
 
