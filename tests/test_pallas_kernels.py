@@ -482,3 +482,35 @@ class TestFusedVitBlock:
         got = np.asarray(model.apply(variables, pts)).astype(np.float32)
         scale = np.max(np.abs(want)) or 1.0
         assert np.max(np.abs(got - want)) / scale < 3e-2
+
+    def test_production_shape_interpret(self, rng):
+        """Exact flagship block geometry ([B,513,384], H=6, Lp=640 edge
+        block) in interpret mode vs the twin — pins the same shapes the
+        on-chip kernel_check row compiles."""
+        from ppt_tpu.kernels.vitblock import _block_pallas, _block_twin
+
+        C, H = 384, 6
+        x = jnp.asarray(rng.randn(2, 513, C).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        pos = jnp.asarray(rng.randn(2, 513, C).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        dp = jnp.ones((2, 2), jnp.float32)
+        f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32)) * 0.05
+        wq, wp, w1, w2 = (
+            f(C, 3 * C).astype(jnp.bfloat16), f(C, C).astype(jnp.bfloat16),
+            f(C, 4 * C).astype(jnp.bfloat16), f(4 * C, C).astype(jnp.bfloat16),
+        )
+        bp, b1, b2 = f(C), f(4 * C), f(C)
+        ones = jnp.ones((C,), jnp.float32)
+        zeros = jnp.zeros((C,), jnp.float32)
+        args = (x, pos, dp, ones, zeros, wq, wp, bp, ones, zeros,
+                w1, b1, w2, b2)
+        got = np.asarray(
+            _block_pallas(*args, heads=H, interpret=True)
+        ).astype(np.float32)
+        want = np.asarray(_block_twin(*args, heads=H)).astype(np.float32)
+        assert got.shape == (2, 513, C)
+        scale = np.max(np.abs(want)) or 1.0
+        assert np.max(np.abs(got - want)) / scale < 3e-2
