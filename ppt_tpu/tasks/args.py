@@ -58,6 +58,7 @@ class TaskArgs:
     wd: float = 0.1
     betas: Tuple[float, float] = (0.9, 0.98)
     eps: float = 1e-8
+    grad_norm_clip: float = 0.0  # global L2 clip before the update; 0=off
     eval_freq: int = 1
     resume: str = ""
     label_smoothing: float = 0.3

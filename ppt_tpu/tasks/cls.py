@@ -104,6 +104,7 @@ def setup(args: TaskArgs):
         ),
         steps_per_epoch=steps_per_epoch,
         plateau_factor=args.plateau_factor,
+        grad_norm_clip=getattr(args, "grad_norm_clip", 0.0),
     )
     state = create_train_state(
         variables, mask, optimizer, jax.random.PRNGKey(args.seed + 1)

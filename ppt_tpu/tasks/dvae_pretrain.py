@@ -100,6 +100,7 @@ def main(args: TaskArgs, config: DvaeConfig | None = None) -> Dict:
         warmup_epochs=args.warmup_epochs, warmup_start_lr=args.lr_start,
     )
     optimizer = build_optimizer(args.optim, sched, weight_decay=args.wd,
+                                grad_norm_clip=getattr(args, 'grad_norm_clip', 0.0),
                                 betas=args.betas, eps=args.eps)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),

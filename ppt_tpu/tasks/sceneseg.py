@@ -360,6 +360,7 @@ def train_loop(args) -> Dict[str, float]:
     optimizer = build_optimizer(
         optim_name, schedule, weight_decay=getattr(args, "wd", 1e-4),
         betas=(0.9, 0.999),  # torch/openpoints AdamW default
+        grad_norm_clip=getattr(args, "grad_norm_clip", 0.0),
     )
     opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(args.seed + 1)

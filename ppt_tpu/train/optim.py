@@ -379,6 +379,7 @@ def build_optimizer(
     plateau_patience_epochs: int = 0,
     steps_per_epoch: int = 1,
     plateau_factor: float = 0.1,
+    grad_norm_clip: float = 0.0,
 ) -> optax.GradientTransformation:
     """Build an optimizer by reference name. When
     ``plateau_patience_epochs > 0`` the chain ends with
@@ -390,6 +391,13 @@ def build_optimizer(
         name, schedule, weight_decay=weight_decay, betas=betas, eps=eps,
         momentum=momentum,
     )
+    if grad_norm_clip and grad_norm_clip > 0.0:
+        # reference: torch.nn.utils.clip_grad_norm_(model.parameters(),
+        # cfg.grad_norm_clip, norm_type=2) applied before optimizer.step
+        # (PointNeXt/examples/classification/train.py:269-271) — the
+        # optax equivalent clips by the same global L2 norm ahead of
+        # the base transform
+        base = optax.chain(optax.clip_by_global_norm(grad_norm_clip), base)
     if plateau_patience_epochs > 0:
         return optax.chain(
             base,

@@ -277,3 +277,30 @@ class TestAdahessian:
         # |w|~3 must cut the quadratic by well over 10x
         assert losses[-1] < 0.1 * losses[0], losses[::10]
         assert all(a >= b for a, b in zip(losses, losses[1:])), "not monotone"
+
+
+def test_grad_norm_clip_bounds_update():
+    """build_optimizer(grad_norm_clip=c) must clip the global L2 norm
+    before the base transform (reference:
+    PointNeXt/examples/classification/train.py:269-271)."""
+    import jax.numpy as jnp
+    import optax
+
+    from ppt_tpu.train.optim import build_optimizer
+
+    params = {"w": jnp.zeros((4,)), "b": jnp.zeros((2,))}
+    huge = {"w": jnp.full((4,), 1e6), "b": jnp.full((2,), -1e6)}
+
+    opt = build_optimizer("sgd", 1.0, weight_decay=0.0, momentum=0.0,
+                          grad_norm_clip=1.0)
+    state = opt.init(params)
+    updates, _ = opt.update(huge, state, params)
+    gnorm = optax.global_norm(updates)
+    # sgd with lr 1.0: update = -clipped grad, so |update| == clip
+    assert abs(float(gnorm) - 1.0) < 1e-5
+
+    # small grads pass through unclipped
+    small = {"w": jnp.full((4,), 0.1), "b": jnp.full((2,), 0.1)}
+    updates, _ = opt.update(small, opt.init(params), params)
+    assert abs(float(optax.global_norm(updates))
+               - float(optax.global_norm(small))) < 1e-6
