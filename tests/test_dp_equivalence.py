@@ -108,3 +108,45 @@ def test_dp2_step_matches_single_device_flagship_width():
             flat2[ks], v1, rtol=1e-4, atol=1e-5,
             err_msg=f"dp=2 diverges from single device at {ks}",
         )
+
+
+def test_batchnorm_is_sync_bn_under_dp_sharding():
+    """flax BatchNorm inside jit over a dp-sharded batch computes
+    GLOBAL batch statistics (GSPMD partitions the mean/var reductions
+    and inserts the cross-device all-reduce) — the TPU-native
+    equivalent of the reference's opt-in torch SyncBatchNorm
+    (openpoints train.py sync-BN flag). Verified: sharded-batch
+    running stats == single-device global-batch stats."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()[:2]
+    mesh = Mesh(np.array(devs), ("data",))
+
+    bn = nn.BatchNorm(use_running_average=False, momentum=0.0)
+    # momentum 0: running stats become exactly this batch's stats
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 16).astype(np.float32))
+    variables = bn.init(jax.random.PRNGKey(0), x)
+
+    def step(v, xb):
+        _, mut = bn.apply(v, xb, mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    # single-device global stats
+    want = jax.tree.map(np.asarray, jax.jit(step)(variables, x))
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    with mesh:
+        got = jax.tree.map(
+            np.asarray,
+            jax.jit(step)(variables, xs),
+        )
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            got["batch_stats"][k] if "batch_stats" in got else got[k],
+            want["batch_stats"][k] if "batch_stats" in want else want[k],
+            rtol=1e-5, atol=1e-6,
+        )
