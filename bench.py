@@ -22,13 +22,39 @@ import time
 import numpy as np
 
 
+def _watchdog(seconds: float):
+    """Hard-exit if the bench wedges (e.g. TPU-tunnel backend init hangs
+    indefinitely during an axon outage — observed 2026-08-18). A clean
+    nonzero exit beats hanging the driver's round-end pipeline; never
+    fires on a healthy run (bench ~3-6 min; first fused compile <15)."""
+    import os
+    import threading
+
+    def boom():
+        sys.stderr.write(
+            f"bench.py watchdog: no result after {seconds:.0f}s "
+            "(TPU backend wedged?) — aborting\n"
+        )
+        sys.stderr.flush()
+        os._exit(2)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--k", type=int, default=10, help="steps per dispatch")
     ap.add_argument("--prng", default=None, choices=[None, "rbg", "unsafe_rbg"],
                     help="override the PRNG impl (threefry is the default)")
+    ap.add_argument("--timeout", type=float, default=float(
+        __import__("os").environ.get("PPT_BENCH_TIMEOUT", 2100)
+    ))
     flags = ap.parse_args()
+    watchdog = _watchdog(flags.timeout)
 
     import jax
 
@@ -124,6 +150,7 @@ def main():
             }
         )
     )
+    watchdog.cancel()
 
 
 if __name__ == "__main__":
