@@ -107,14 +107,16 @@ def _mha_kernel(
 
 
 def _pad_free() -> bool:
-    """Pad-free edge-block formulation gate. Verified exact in
-    interpret mode (incl. non-multiple L); flip the default to on once
-    `kernel_check`'s fused_mha row has passed on the real chip —
-    until then the HBM-padded formulation (battle-tested on-chip since
-    the 931→1105 clouds/sec measurement) stays the default."""
+    """Pad-free edge-block formulation gate — DEFAULT ON.
+
+    kernel_check passed both formulations on the real chip
+    (docs/KERNEL_CHECK_tpu_v5e.log: fused_mha[32,513,6,64].pad_free max
+    abs err 2.44e-04 vs the f32-softmax twin), and bench with the
+    round-3 kernels on measured 1568.7 vs 1447.6 clouds/sec with them
+    off. ``PPT_MHA_PADFREE=0`` restores the HBM-padded formulation."""
     import os
 
-    return os.environ.get("PPT_MHA_PADFREE", "0") != "0"
+    return os.environ.get("PPT_MHA_PADFREE", "1") != "0"
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "pad_free"))

@@ -74,6 +74,7 @@ def _block_kernel(
 ):
     c = heads * d
     scale = 1.0 / math.sqrt(d)
+    b = pl.program_id(0)  # dp lives whole in SMEM; index the batch row
     # x0 = x + pos in compute dtype (matches the XLA path's bf16 add)
     x0 = x_ref[0] + pos_ref[0]  # [Lp, C]
 
@@ -111,7 +112,7 @@ def _block_kernel(
         attn, wproj_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dtype) + bproj_ref[0].astype(dtype)
-    x1 = x0 + y * dp_ref[0, 0].astype(dtype)
+    x1 = x0 + y * dp_ref[b, 0].astype(dtype)
 
     # --- MLP sublayer --------------------------------------------------
     xn2 = _ln_f32(
@@ -126,7 +127,7 @@ def _block_kernel(
         h1, wfc2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dtype) + bfc2_ref[0].astype(dtype)
-    o_ref[0] = x1 + y2 * dp_ref[0, 1].astype(dtype)
+    o_ref[0] = x1 + y2 * dp_ref[b, 1].astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
@@ -155,7 +156,10 @@ def _block_pallas(
         in_specs=[
             rowspec(C),  # x
             rowspec(C),  # pos
-            pl.BlockSpec((1, 2), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            # dp is [B, 2] scalars: whole-array in SMEM (a (1, 2) VMEM
+            # block would violate Mosaic's 8-sublane divisibility rule —
+            # caught by kernel_check on the real chip, not by interpret)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             wspec(1, C), wspec(1, C),          # ln1 scale/bias
             wspec(C, 3 * C),                   # wqkv
             wspec(C, C), wspec(1, C),          # wproj, bproj
@@ -165,6 +169,13 @@ def _block_pallas(
         ],
         out_specs=rowspec(C),
         out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
+        # The whole-block working set (~12 MB bf16, ~20 MB f32 at
+        # [513, 384]x6h) exceeds the compiler's default 16 MB scoped-
+        # vmem budget in f32; v5e has far more physical VMEM than the
+        # default budget admits.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         x, pos, dp,

@@ -158,13 +158,20 @@ def _resolve_dtype(value) -> jnp.dtype:
 
 
 def _make(name: str, encoder: nn.Module, pc_feat_dims: int, args) -> ModelSpec:
+    dt = _resolve_dtype(getattr(args, "compute_dtype", jnp.float32))
+    # Thread the compute dtype into the point tower too: Ulip's dtype
+    # only governs the text tower; the encoder submodule keeps its own
+    # construction-time dtype (f32 default), so without this clone a
+    # bf16 run would silently leave the whole point tower in f32.
+    if hasattr(encoder, "dtype") and encoder.dtype != dt:
+        encoder = encoder.clone(dtype=dt)
     model = Ulip(
         point_encoder=encoder,
         pc_feat_dims=pc_feat_dims,
         n_ctx=getattr(args, "num_learnable_prompt_tokens", 32),
         task=getattr(args, "task", "cls"),
         text_config=getattr(args, "text_config", None) or TextConfig(),
-        dtype=_resolve_dtype(getattr(args, "compute_dtype", jnp.float32)),
+        dtype=dt,
     )
     return ModelSpec(model=model, pc_feat_dims=pc_feat_dims, name=name)
 
