@@ -226,6 +226,28 @@ class TestClassicBackbones:
         logits = spec_m.model.apply(variables, pc, prompts)
         assert logits.shape == (2, 2)
 
+    def test_factory_threads_compute_dtype_into_encoder(self):
+        """Regression: Ulip.dtype only governs the text tower — the
+        encoder submodule keeps its construction-time dtype, so the
+        factory must clone it with the requested compute dtype. The
+        flagship bench silently ran an f32 point tower from round 1
+        until round 3 because of exactly this."""
+        import jax.numpy as jnp
+
+        from ppt_tpu.models.ulip import build_model
+        from ppt_tpu.nn import TextConfig
+
+        class Args:
+            num_learnable_prompt_tokens = 4
+            task = "cls"
+            compute_dtype = "bfloat16"
+            text_config = TextConfig(width=64, layers=1, heads=4, embed_dim=64)
+
+        for name in ("ULIP_PointBERT", "ULIP_PN_SSG", "ULIP_PN_NEXT"):
+            spec = build_model(name, Args())
+            assert spec.model.dtype == jnp.bfloat16
+            assert spec.model.point_encoder.dtype == jnp.bfloat16, name
+
 
 class TestConfusionMatrix:
     def test_metrics(self):
