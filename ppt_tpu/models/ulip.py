@@ -157,13 +157,18 @@ def _resolve_dtype(value) -> jnp.dtype:
     return value
 
 
-def _make(name: str, encoder: nn.Module, pc_feat_dims: int, args) -> ModelSpec:
+def _make(
+    name: str, encoder: nn.Module, pc_feat_dims: int, args,
+    *, thread_dtype: bool = True,
+) -> ModelSpec:
     dt = _resolve_dtype(getattr(args, "compute_dtype", jnp.float32))
     # Thread the compute dtype into the point tower too: Ulip's dtype
     # only governs the text tower; the encoder submodule keeps its own
     # construction-time dtype (f32 default), so without this clone a
     # bf16 run would silently leave the whole point tower in f32.
-    if hasattr(encoder, "dtype") and encoder.dtype != dt:
+    # ``thread_dtype=False`` (ulip_customized) leaves a caller-supplied
+    # encoder's explicit dtype authoritative instead of overriding it.
+    if thread_dtype and hasattr(encoder, "dtype") and encoder.dtype != dt:
         encoder = encoder.clone(dtype=dt)
     model = Ulip(
         point_encoder=encoder,
@@ -206,8 +211,13 @@ def ulip_pn_next(args) -> ModelSpec:
 
 def ulip_customized(args, encoder: nn.Module, pc_feat_dims: int = 512) -> ModelSpec:
     """Template factory for user-provided 3D backbones
-    (``ULIP_CUSTOMIZED``, ULIP_models.py:621-658)."""
-    return _make("ULIP_CUSTOMIZED", encoder, pc_feat_dims, args)
+    (``ULIP_CUSTOMIZED``, ULIP_models.py:621-658). The caller's encoder
+    dtype is respected as-is — construct the encoder with the desired
+    compute dtype (``args.compute_dtype`` governs only the text tower
+    here)."""
+    return _make(
+        "ULIP_CUSTOMIZED", encoder, pc_feat_dims, args, thread_dtype=False
+    )
 
 
 def ulip_pointnet(args) -> ModelSpec:

@@ -299,7 +299,7 @@ class VitBlock(nn.Module):
     ) -> jax.Array:
         import os
 
-        from ppt_tpu.kernels.attention import _is_tpu
+        from ppt_tpu.kernels.attention import FLASH_MIN_SEQ, _is_tpu
 
         C = x.shape[-1]
         # Whole-block fused Pallas kernel (kernels/vitblock.py): x+pos,
@@ -308,10 +308,17 @@ class VitBlock(nn.Module):
         # on TPU: kernel_check's vit_block row passed on the real chip
         # (max rel err 8.81e-03 vs the XLA twin in bf16) and the bench
         # measured 1568.7 vs 1447.6 clouds/sec without it.
-        # PPT_FUSED_BLOCK=0 disables; =1 forces (CPU interpret, tests).
+        # Length guard mirrors VitAttention: beyond FLASH_MIN_SEQ the
+        # whole-row [Lp, Lp] score matrix stops fitting VMEM and
+        # flash_mha is the right formulation anyway.
+        # PPT_FUSED_BLOCK=0 disables; =1 forces (CPU interpret, tests);
+        # PPT_FORCE_XLA_ATTN=1 also disables (the fused block subsumes
+        # attention, so the documented kernels-off escape hatch holds).
         use_fused = (
             not self.is_initializing()
             and pos is not None
+            and x.shape[1] < FLASH_MIN_SEQ
+            and not os.environ.get("PPT_FORCE_XLA_ATTN")
             and os.environ.get("PPT_FUSED_BLOCK", "1" if _is_tpu() else "0")
             == "1"
         )

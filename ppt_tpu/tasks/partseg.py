@@ -37,7 +37,6 @@ from ppt_tpu.train import (
     make_train_step,
 )
 from ppt_tpu.train.checkpoint import save_checkpoint
-from ppt_tpu.train.trainer import make_optimizer
 from ppt_tpu.utils.metrics import Meter, partseg_ious, refine_partseg_logits
 
 log = logging.getLogger(__name__)
@@ -90,7 +89,15 @@ def setup(args: TaskArgs):
         args.lr, args.lr_end, args.epochs, steps_per_epoch,
         warmup_epochs=args.warmup_epochs, warmup_start_lr=args.lr_start,
     )
-    optimizer = make_optimizer(sched, weight_decay=args.wd, betas=args.betas, eps=args.eps)
+    # by-name optimizer so --optim/--grad_norm_clip are honored here
+    # like in the cls driver (the train step already threads the
+    # Hessian diagonal for adahessian, partseg.py:142)
+    from ppt_tpu.train.optim import build_optimizer
+
+    optimizer = build_optimizer(
+        args.optim, sched, weight_decay=args.wd, betas=args.betas,
+        eps=args.eps, grad_norm_clip=getattr(args, "grad_norm_clip", 0.0),
+    )
     state = create_train_state(variables, mask, optimizer, jax.random.PRNGKey(args.seed + 1))
     state = replicate(state, mesh)
     prompts = replicate(prompts, mesh)

@@ -34,7 +34,7 @@ from ppt_tpu.prompt import tokenize
 from ppt_tpu.tasks.args import TaskArgs
 from ppt_tpu.train import cosine_with_warmup, create_train_state
 from ppt_tpu.train.checkpoint import save_checkpoint
-from ppt_tpu.train.trainer import make_optimizer, merge_params
+from ppt_tpu.train.trainer import merge_params
 
 log = logging.getLogger(__name__)
 
@@ -124,7 +124,21 @@ def main(args: TaskArgs) -> Dict:
         args.lr, args.lr_end, args.epochs, steps_per_epoch,
         warmup_epochs=args.warmup_epochs, warmup_start_lr=args.lr_start,
     )
-    optimizer = make_optimizer(sched, weight_decay=args.wd, betas=args.betas, eps=args.eps)
+    # by-name optimizer so --optim/--grad_norm_clip are honored; the
+    # contrastive pretrain step has no Hessian threading, so adahessian
+    # is rejected here (mpm/dvae pretraining do support it)
+    if args.optim.lower() == "adahessian":
+        raise ValueError(
+            "the ULIP contrastive pretrain step does not thread the "
+            "Hessian diagonal; use adamw/sgd/lamb/... (adahessian is "
+            "supported by the cls/partseg/mpm/dvae drivers)"
+        )
+    from ppt_tpu.train.optim import build_optimizer
+
+    optimizer = build_optimizer(
+        args.optim, sched, weight_decay=args.wd, betas=args.betas,
+        eps=args.eps, grad_norm_clip=getattr(args, "grad_norm_clip", 0.0),
+    )
     state = create_train_state(variables, mask, optimizer, jax.random.PRNGKey(args.seed + 1))
     state = replicate(state, mesh)
 

@@ -353,13 +353,19 @@ def train_loop(args) -> Dict[str, float]:
         raise ValueError(
             "sceneseg's train step does not thread the Hessian diagonal; "
             "use adamw/sgd/lamb/... (adahessian is supported by the "
-            "cls/partseg/pretraining drivers)"
+            "cls/partseg/mpm/dvae drivers)"
         )
     from ppt_tpu.train.optim import build_optimizer
 
+    # --betas/--eps are honored when the user overrides them; otherwise
+    # this driver keeps the openpoints seg recipe's torch-AdamW default
+    # (0.9, 0.999) rather than TaskArgs' CLIP-style (0.9, 0.98)
+    betas = tuple(getattr(args, "betas", (0.9, 0.98)))
+    if betas == (0.9, 0.98):
+        betas = (0.9, 0.999)
     optimizer = build_optimizer(
         optim_name, schedule, weight_decay=getattr(args, "wd", 1e-4),
-        betas=(0.9, 0.999),  # torch/openpoints AdamW default
+        betas=betas, eps=getattr(args, "eps", 1e-8),
         grad_norm_clip=getattr(args, "grad_norm_clip", 0.0),
     )
     opt_state = optimizer.init(params)

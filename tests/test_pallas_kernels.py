@@ -441,6 +441,27 @@ class TestFusedVitBlock:
         scale = np.max(np.abs(qk_p)) or 1.0
         assert np.max(np.abs(qk_p - qk_f)) / scale < 5e-2
 
+    def test_force_xla_attn_disables_fused_block(self, rng, monkeypatch):
+        """The documented kernels-off escape hatch (CLAUDE.md:
+        PPT_FORCE_XLA_ATTN=1) must also bypass the whole-block kernel,
+        which subsumes attention."""
+        block, variables, x, pos = self._params(rng)
+        monkeypatch.setenv("PPT_FUSED_BLOCK", "1")
+        monkeypatch.setenv("PPT_FORCE_XLA_ATTN", "1")
+        called = []
+        import ppt_tpu.kernels.vitblock as vb
+
+        orig = vb.fused_vit_block
+
+        def spy(*a, **k):
+            called.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(vb, "fused_vit_block", spy)
+        out = block.apply(variables, x, True, pos)
+        assert np.all(np.isfinite(np.asarray(out, dtype=np.float32)))
+        assert not called
+
     def test_droppath_train_mode(self, rng, monkeypatch):
         import jax
 
