@@ -75,7 +75,42 @@ class TextBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        import os
+
         D = x.shape[-1]
+        # Whole-block fused Pallas kernel (kernels/textblock.py): LN1,
+        # fused-QKV, causal attention, out_proj, residual, LN2,
+        # QuickGELU MLP, residual — one VMEM pass per class. The kernel
+        # bakes in the standard causal mask (ULIP_models.py:224-230),
+        # so it only engages on the masked path; D must be lane-aligned.
+        # DEFAULT OFF — measured SLOWER on-chip than this XLA path
+        # (which already runs ~60% MFU on [C*77, D]-tall matmuls); the
+        # kernel docstring records the numbers. PPT_FUSED_TEXT=1
+        # enables for re-measurement; PPT_FORCE_XLA_ATTN=1 disables.
+        use_fused = (
+            not self.is_initializing()
+            and mask is not None
+            and D % 128 == 0
+            and not os.environ.get("PPT_FORCE_XLA_ATTN")
+            and os.environ.get("PPT_FUSED_TEXT", "0") == "1"
+        )
+        if use_fused:
+            from ppt_tpu.kernels.textblock import fused_text_block
+
+            p = self.variables["params"]
+            dt = self.dtype
+            return fused_text_block(
+                x,
+                p["ln_1"]["norm"]["scale"], p["ln_1"]["norm"]["bias"],
+                p["attn"]["in_proj"]["kernel"].astype(dt),
+                p["attn"]["in_proj"]["bias"],
+                p["attn"]["out_proj"]["kernel"].astype(dt),
+                p["attn"]["out_proj"]["bias"],
+                p["ln_2"]["norm"]["scale"], p["ln_2"]["norm"]["bias"],
+                p["c_fc"]["kernel"].astype(dt), p["c_fc"]["bias"],
+                p["c_proj"]["kernel"].astype(dt), p["c_proj"]["bias"],
+                self.heads,
+            )
         y = LayerNormF32(name="ln_1")(x)
         x = x + FusedQKVAttention(self.heads, dtype=self.dtype, name="attn")(y, mask)
         y = LayerNormF32(name="ln_2")(x)

@@ -263,6 +263,40 @@ def main() -> int:
     check("fused_mini.eval", err < 5e-2,
           f"max rel err {err:.2e} (bf16 fused-BN folding vs unfused)")
 
+    # --- fused CLIP text block at the flagship shape -------------------
+    from ppt_tpu.kernels.textblock import _text_pallas, _text_twin
+
+    D, TH = 512, 8
+    xt = jnp.asarray(
+        rng.rand(40, 77, D).astype(np.float32) - 0.5
+    ).astype(jnp.bfloat16)
+
+    def tw(*shape):
+        return (jnp.asarray(rng.randn(*shape).astype(np.float32)) * 0.05)
+
+    targs = (
+        xt,
+        jnp.ones((D,), jnp.float32), jnp.zeros((D,), jnp.float32),
+        tw(D, 3 * D).astype(jnp.bfloat16), tw(3 * D),
+        tw(D, D).astype(jnp.bfloat16), tw(D),
+        jnp.ones((D,), jnp.float32), jnp.zeros((D,), jnp.float32),
+        tw(D, 4 * D).astype(jnp.bfloat16), tw(4 * D),
+        tw(4 * D, D).astype(jnp.bfloat16), tw(D),
+    )
+    got_t = np.asarray(
+        jax.jit(
+            lambda *a: _text_pallas(*a, heads=TH).astype(jnp.float32)
+        )(*targs)
+    )
+    want_t = np.asarray(
+        jax.jit(lambda *a: _text_twin(*a, heads=TH))(*targs)
+    ).astype(np.float32)
+    scale_t = float(np.max(np.abs(want_t))) or 1.0
+    err = float(np.max(np.abs(got_t - want_t))) / scale_t
+    finite = bool(np.all(np.isfinite(got_t)))
+    check("text_block[40,77,512]", finite and err < 3e-2,
+          f"max rel err {err:.2e} vs XLA twin, finite={finite}")
+
     print(json.dumps({"failures": failures}))
     return 1 if failures else 0
 

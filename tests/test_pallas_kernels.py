@@ -535,3 +535,121 @@ class TestFusedVitBlock:
         assert got.shape == (2, 513, C)
         scale = np.max(np.abs(want)) or 1.0
         assert np.max(np.abs(got - want)) / scale < 3e-2
+
+
+class TestFusedTextBlock:
+    """kernels/textblock.py — whole-block CLIP text fusion vs the plain
+    flax TextBlock (causal mask, fp32 LN eps 1e-5, QuickGELU)."""
+
+    def _twin_args(self, rng, B=3, L=77, D=128, H=4):
+        f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32)) * 0.05
+        x = f(B, L, D)
+        return (
+            x,
+            jnp.ones((D,), jnp.float32), jnp.zeros((D,), jnp.float32),
+            f(D, 3 * D), f(3 * D), f(D, D), f(D),
+            jnp.ones((D,), jnp.float32), jnp.zeros((D,), jnp.float32),
+            f(D, 4 * D), f(4 * D), f(4 * D, D), f(D),
+        )
+
+    def test_twin_matches_kernel_exactly(self, rng):
+        """Interpret-mode kernel vs the XLA twin at f32 — incl. the
+        L=77 non-multiple edge block (Lp=128)."""
+        from ppt_tpu.kernels.textblock import _text_pallas, _text_twin
+
+        args = self._twin_args(rng)
+        got = np.asarray(_text_pallas(*args, heads=4, interpret=True))
+        want = np.asarray(_text_twin(*args, heads=4))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_fused_matches_plain_flax_block(self, rng, monkeypatch):
+        import jax
+
+        from ppt_tpu.nn.text import TextBlock, causal_mask
+
+        block = TextBlock(4, dtype=jnp.bfloat16)
+        x = jnp.asarray(rng.randn(3, 77, 128).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        mask = jnp.asarray(causal_mask(77))
+        variables = block.init(jax.random.PRNGKey(0), x, mask)
+        want = np.asarray(
+            block.apply(variables, x, mask)
+        ).astype(np.float32)
+        monkeypatch.setenv("PPT_FUSED_TEXT", "1")
+        got = np.asarray(block.apply(variables, x, mask)).astype(np.float32)
+        assert got.shape == want.shape
+        scale = np.max(np.abs(want)) or 1.0
+        assert np.max(np.abs(got - want)) / scale < 3e-2
+
+    def test_input_grads_match(self, rng, monkeypatch):
+        """The prompt-tuning objective only needs the INPUT gradient
+        through the frozen text tower — that's the path the recompute
+        VJP must get right."""
+        import jax
+
+        from ppt_tpu.nn.text import TextBlock, causal_mask
+
+        block = TextBlock(4, dtype=jnp.float32)
+        x = jnp.asarray(rng.randn(3, 77, 128).astype(np.float32))
+        mask = jnp.asarray(causal_mask(77))
+        variables = block.init(jax.random.PRNGKey(0), x, mask)
+
+        def loss(x, env):
+            return jnp.sum(jnp.sin(block.apply(variables, x, mask)))
+
+        gx_p = np.asarray(jax.grad(loss)(x, 0))
+        monkeypatch.setenv("PPT_FUSED_TEXT", "1")
+        gx_f = np.asarray(jax.grad(loss)(x, 1))
+        scale = np.max(np.abs(gx_p)) or 1.0
+        assert np.max(np.abs(gx_p - gx_f)) / scale < 1e-4
+
+    def test_force_xla_attn_disables_fused_text(self, rng, monkeypatch):
+        import jax
+
+        import ppt_tpu.kernels.textblock as tb
+        from ppt_tpu.nn.text import TextBlock, causal_mask
+
+        block = TextBlock(4, dtype=jnp.float32)
+        x = jnp.asarray(rng.randn(2, 77, 128).astype(np.float32))
+        mask = jnp.asarray(causal_mask(77))
+        variables = block.init(jax.random.PRNGKey(0), x, mask)
+        monkeypatch.setenv("PPT_FUSED_TEXT", "1")
+        monkeypatch.setenv("PPT_FORCE_XLA_ATTN", "1")
+        called = []
+        orig = tb.fused_text_block
+
+        def spy(*a, **k):
+            called.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(tb, "fused_text_block", spy)
+        out = block.apply(variables, x, mask)
+        assert np.all(np.isfinite(np.asarray(out)))
+        assert not called
+
+    def test_production_shape_interpret(self, rng):
+        """Exact flagship text geometry ([40, 77, 512], H=8, Lp=128
+        edge block) in interpret mode vs the twin — pins the shapes the
+        on-chip kernel_check row compiles."""
+        from ppt_tpu.kernels.textblock import _text_pallas, _text_twin
+
+        D, H = 512, 8
+        f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32)) * 0.05
+        x = f(4, 77, D).astype(jnp.bfloat16)
+        args = (
+            x,
+            jnp.ones((D,), jnp.float32), jnp.zeros((D,), jnp.float32),
+            f(D, 3 * D).astype(jnp.bfloat16), f(3 * D),
+            f(D, D).astype(jnp.bfloat16), f(D),
+            jnp.ones((D,), jnp.float32), jnp.zeros((D,), jnp.float32),
+            f(D, 4 * D).astype(jnp.bfloat16), f(4 * D),
+            f(4 * D, D).astype(jnp.bfloat16), f(D),
+        )
+        got = np.asarray(
+            _text_pallas(*args, heads=H, interpret=True)
+        ).astype(np.float32)
+        want = np.asarray(_text_twin(*args, heads=H)).astype(np.float32)
+        assert got.shape == (4, 77, D)
+        scale = np.max(np.abs(want)) or 1.0
+        assert np.max(np.abs(got - want)) / scale < 3e-2
