@@ -139,7 +139,13 @@ def _block_pallas(
     to the compute dtype by the caller; LN params f32."""
     B, L, C = x.shape
     d = C // heads
-    Lp = _round_up(L, 128)
+    # The block's ROW (sublane) dim only needs 16-alignment (bf16; 8
+    # for f32) — rounding to 128 was lane-dim thinking. At L=513 this
+    # is Lp=528 instead of 640: ~17% fewer M-rows in every matmul of
+    # the hot kernel (lane dims still tile to 128 internally either
+    # way). Exactness is unchanged: the edge block is masked by Mosaic
+    # and l_valid-masking handles the 15 tail rows like it did 127.
+    Lp = _round_up(L, 16)
     hid = wfc1.shape[1]
 
     def rowspec(n_lanes):
