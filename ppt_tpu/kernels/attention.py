@@ -126,14 +126,17 @@ def _mha_pallas(
 ) -> jax.Array:
     """[B, L, H, D] attention with whole-row VMEM-resident scores.
 
-    Pad-free mode: the kernel block is Lp=round_up(L, 128) tall over
-    the L-tall arrays (Mosaic masks the edge block), so the 3 input
-    pads + output slice the padded formulation pays per call (~28 MB
-    x 4 x 12 blocks ~= 1.3 GB HBM/step at the PPT ViT shape) never
-    happen. Padded mode materializes zero-padded copies in HBM.
+    Pad-free mode: the kernel block is Lp tall over the L-tall arrays
+    (Mosaic masks the edge block), so the 3 input pads + output slice
+    the padded formulation pays per call (~28 MB x 4 x 12 blocks
+    ~= 1.3 GB HBM/step at the PPT ViT shape) never happen. Padded mode
+    materializes zero-padded copies in HBM. Lp is SUBLANE-aligned (16):
+    the row dim doesn't need the 128 lane-dim rule, and 528-vs-640 over
+    L=513 drops ~17% of every matmul's M-rows (same finding as
+    ``fused_vit_block``; measured there at +7.9% step throughput).
     """
     B, L, H, D = q.shape
-    Lp = _round_up(L, 128)
+    Lp = _round_up(L, 16)
     if pad_free is None:
         pad_free = _pad_free()
     if pad_free or Lp == L:
