@@ -57,11 +57,32 @@ class PromptArrays:
     eot_pos: jax.Array  # [C] i32
 
     @classmethod
-    def from_spec(cls, spec: PromptSpec) -> "PromptArrays":
+    def from_spec(
+        cls, spec: PromptSpec, truncate: bool = True
+    ) -> "PromptArrays":
+        """Build device arrays; by default TRUNCATE the context dim.
+
+        The CLIP text tower is causal (``ULIP_models.py:224-230``) and
+        pools at the EOT position (``:219``): positions past every
+        class's EOT are attended by nothing that reaches the pooled
+        output, so dropping them is mathematically exact — each padded
+        key contributes exp(-inf)=0 to every valid row's softmax and
+        0*v to its PV sum. The reference runs all 77 positions anyway;
+        here the splice tables are sliced to ``max(eot)+1`` rounded up
+        to 16 (sublane tile), cutting text fwd+bwd work ~40% at the
+        flagship prompt length (38 of 77 used). ``truncate=False`` (or
+        ``PPT_TEXT_TRUNCATE=0``) restores the full 77-position context.
+        """
+        import os
+
+        L = spec.perm_tokens.shape[1]
+        if truncate and os.environ.get("PPT_TEXT_TRUNCATE", "1") != "0":
+            used = int(spec.eot_pos.max()) + 1
+            L = min(L, ((used + 15) // 16) * 16)
         return cls(
-            perm_tokens=jnp.asarray(spec.perm_tokens),
-            ctx_mask=jnp.asarray(spec.ctx_mask),
-            ctx_idx=jnp.asarray(spec.ctx_idx),
+            perm_tokens=jnp.asarray(spec.perm_tokens[:, :L]),
+            ctx_mask=jnp.asarray(spec.ctx_mask[:, :L]),
+            ctx_idx=jnp.asarray(spec.ctx_idx[:, :L]),
             eot_pos=jnp.asarray(spec.eot_pos),
         )
 

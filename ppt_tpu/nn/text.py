@@ -175,11 +175,23 @@ class TextTransformer(nn.Module):
         self, prompt_embeds: jax.Array, eot_positions: jax.Array
     ) -> jax.Array:
         """prompt_embeds: [C, L, width]; eot_positions: [C] int.
-        Returns [C, embed_dim] (unnormalized)."""
-        x = prompt_embeds.astype(self.dtype) + self.positional_embedding.astype(
-            self.dtype
-        )
-        mask = jnp.asarray(self._mask)
+        Returns [C, embed_dim] (unnormalized).
+
+        ``L`` may be SHORTER than ``config.context_length``: the causal
+        mask + EOT pooling make trailing pad positions dead work (see
+        ``PromptArrays.from_spec``), so callers may pass truncated
+        prompts; the positional embedding and mask are sliced to match.
+        """
+        L = prompt_embeds.shape[1]
+        if L > self.config.context_length:
+            raise ValueError(
+                f"prompt length {L} exceeds context_length "
+                f"{self.config.context_length}"
+            )
+        x = prompt_embeds.astype(self.dtype) + self.positional_embedding[
+            :L
+        ].astype(self.dtype)
+        mask = jnp.asarray(self._mask[:L, :L])
         for block in self.blocks:
             x = block(x, mask)
         x = self.ln_final(x)
