@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--k", type=int, default=10, help="steps per dispatch")
     ap.add_argument("--prng", default=None, choices=[None, "rbg", "unsafe_rbg"],
                     help="override the PRNG impl (threefry is the default)")
+    ap.add_argument("--no_anchor", action="store_true",
+                    help="skip the PointNeXt-S anchor line (batch-sweep runs)")
     ap.add_argument("--timeout", type=float, default=float(
         __import__("os").environ.get("PPT_BENCH_TIMEOUT", 2100)
     ))
@@ -104,13 +106,17 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train clouds/sec/chip (ULIP-PointBERT PPT-Base, B32xN1024, bf16, 10-step scan dispatch)",
+                "metric": f"train clouds/sec/chip (ULIP-PointBERT PPT-Base, B{B}xN1024, bf16, {K}-step scan dispatch)",
                 "value": round(clouds_per_sec, 2),
                 "unit": "clouds/sec",
                 "vs_baseline": round(clouds_per_sec / baseline, 4),
             }
         )
     )
+
+    if flags.no_anchor:
+        watchdog.cancel()
+        return
 
     # Second line: the anchor workload itself — PointNeXt-S B128x1024
     # INFERENCE, the only published reference throughput number
