@@ -237,11 +237,20 @@ def knn_gather(
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     # 256-wide query tiles measured fastest on v5e (4.2 vs 4.8 ms at the
-    # PPT-Base shapes); fall back to 128/8 for smaller S
-    s_blk = next((c for c in (256, 128, 64, 32, 16, 8) if S % c == 0), None)
-    if s_blk is None:
-        raise ValueError(f"S={S} must be a multiple of 8")
+    # PPT-Base shapes); fall back to 128/8 for smaller S. The VMEM cap
+    # additionally bounds s_blk*n_pad: the dist scratch plus its compute
+    # intermediates cost ~4 f32 buffers of [s_blk, n_pad] per instance
+    # (measured 29.75 MB at s_blk=256, N=8192 — over the 17 MB scoped
+    # limit), so large-N inputs take narrower query tiles instead of
+    # OOMing (reference-native npoints is 8192).
     n_pad = _round_up(N, 128)
+    s_blk = next(
+        (c for c in (256, 128, 64, 32, 16, 8)
+         if S % c == 0 and c * n_pad * 16 <= 12 * 1024 * 1024),
+        None,
+    )
+    if s_blk is None:
+        raise ValueError(f"S={S} must be a multiple of 8 (N={N})")
 
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
     if n_pad != N:
@@ -569,11 +578,17 @@ def ball_query_gather(
     # largest power-of-two tile dividing S: a small S must not fall to
     # 8-wide tiles (S=64 with s_blk=8 ran 8x more grid instances, each
     # paying the full nsample-pass serial loop — measured 14.7 ms for
-    # the B=128 S=64 PointNeXt stage vs ~2 ms at s_blk=64)
-    s_blk = next((c for c in (256, 128, 64, 32, 16, 8) if S % c == 0), None)
-    if s_blk is None:
-        raise ValueError(f"S={S} must be a multiple of 8")
+    # the B=128 S=64 PointNeXt stage vs ~2 ms at s_blk=64). The VMEM cap
+    # bounds s_blk*n_pad so large-N inputs narrow the tile instead of
+    # OOMing the ~17 MB scoped limit (see knn_gather).
     n_pad = _round_up(N, 128)
+    s_blk = next(
+        (c for c in (256, 128, 64, 32, 16, 8)
+         if S % c == 0 and c * n_pad * 16 <= 12 * 1024 * 1024),
+        None,
+    )
+    if s_blk is None:
+        raise ValueError(f"S={S} must be a multiple of 8 (N={N})")
 
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
     if n_pad != N:
@@ -630,11 +645,17 @@ def ball_query_gather_feats(
     # largest power-of-two tile dividing S: a small S must not fall to
     # 8-wide tiles (S=64 with s_blk=8 ran 8x more grid instances, each
     # paying the full nsample-pass serial loop — measured 14.7 ms for
-    # the B=128 S=64 PointNeXt stage vs ~2 ms at s_blk=64)
-    s_blk = next((c for c in (256, 128, 64, 32, 16, 8) if S % c == 0), None)
-    if s_blk is None:
-        raise ValueError(f"S={S} must be a multiple of 8")
+    # the B=128 S=64 PointNeXt stage vs ~2 ms at s_blk=64). The VMEM cap
+    # bounds s_blk*n_pad so large-N inputs narrow the tile instead of
+    # OOMing the ~17 MB scoped limit (see knn_gather).
     n_pad = _round_up(N, 128)
+    s_blk = next(
+        (c for c in (256, 128, 64, 32, 16, 8)
+         if S % c == 0 and c * n_pad * 16 <= 12 * 1024 * 1024),
+        None,
+    )
+    if s_blk is None:
+        raise ValueError(f"S={S} must be a multiple of 8 (N={N})")
 
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
     if n_pad != N:
