@@ -7,6 +7,7 @@ from ppt_tpu.kernels.group import (
     fused_group,
 )
 from ppt_tpu.kernels.chamfer import chamfer_pallas
+from ppt_tpu.kernels.emd import approx_match_pallas, emd_matchcost_pallas
 from ppt_tpu.kernels.attention import flash_mha
 
 __all__ = [
@@ -17,5 +18,7 @@ __all__ = [
     "ball_query_gather",
     "fused_group",
     "chamfer_pallas",
+    "approx_match_pallas",
+    "emd_matchcost_pallas",
     "flash_mha",
 ]

@@ -143,8 +143,25 @@ def emd_matchcost(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
 
 def earth_mover_distance(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
     """The reference's module-level wrapper (``emd.py:32-48``):
-    ``matchcost / N1``, averaged over the batch. Scalar."""
-    return jnp.mean(emd_matchcost(xyz1, xyz2) / xyz1.shape[1])
+    ``matchcost / N1``, averaged over the batch. Scalar.
+
+    On TPU the ten-level auction runs as the fused Pallas kernel
+    (``kernels/emd.py`` — d2 read once, match written once, no per-level
+    HBM intermediates) when the shape fits its VMEM bound; the XLA scan
+    above is the fallback and semantic spec. ``PPT_FORCE_XLA_EMD=1``
+    disables the kernel (A/B escape hatch, same convention as the other
+    fused kernels)."""
+    import os
+
+    from ppt_tpu.kernels.emd import emd_fits_pallas, emd_matchcost_pallas
+
+    use_pallas = (
+        jax.devices()[0].platform == "tpu"
+        and not os.environ.get("PPT_FORCE_XLA_EMD")
+        and emd_fits_pallas(xyz1.shape[1], xyz2.shape[1])
+    )
+    cost_fn = emd_matchcost_pallas if use_pallas else emd_matchcost
+    return jnp.mean(cost_fn(xyz1, xyz2) / xyz1.shape[1])
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))

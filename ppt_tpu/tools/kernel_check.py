@@ -136,6 +136,34 @@ def main() -> int:
     rel = abs(got_c - want_c) / max(abs(want_c), 1e-9)
     check("chamfer_pallas", rel < 1e-4, f"rel err {rel:.2e}")
 
+    # --- auction-EMD Pallas kernel vs the XLA ten-level scan ---
+    # small (dVAE per-group, 8 rows/instance) and whole-cloud scale
+    from ppt_tpu.kernels.emd import approx_match_pallas, emd_matchcost_pallas
+    from ppt_tpu.ops.losses3d import emd_matchcost
+
+    for n_e, m_e in ((64, 32), (1024, 768)):
+        ae = jnp.asarray(rng.rand(4, n_e, 3).astype(np.float32))
+        be = jnp.asarray(rng.rand(4, m_e, 3).astype(np.float32))
+        got_e = np.asarray(jax.jit(emd_matchcost_pallas)(ae, be))
+        want_e = np.asarray(jax.jit(emd_matchcost)(ae, be))
+        rel = float(
+            np.max(np.abs(got_e - want_e) / np.maximum(np.abs(want_e), 1e-9))
+        )
+        check(f"emd_pallas.N{n_e}xM{m_e}", rel < 1e-3, f"rel err {rel:.2e}")
+        # consume the match through a sum probe (axon fetch quirk).
+        # shipped mass = min(total supply, total capacity): supplies are
+        # multiL = max(M//N, 1) per left point, capacities multiR =
+        # max(N//M, 1) per right point (emd_kernel.cu:43-44)
+        m_sum = float(jnp.sum(jax.jit(approx_match_pallas)(ae, be)))
+        want_mass = 4 * min(
+            n_e * max(1, m_e // n_e), m_e * max(1, n_e // m_e)
+        )
+        check(
+            f"emd_pallas.mass.N{n_e}xM{m_e}",
+            abs(m_sum - want_mass) / want_mass < 1e-2,
+            f"total mass {m_sum:.1f} (want {want_mass})",
+        )
+
     # --- ball_query_gather_feats vs query_ball_point + 2 gathers ---
     from ppt_tpu.kernels.group import ball_query_gather_feats
 
