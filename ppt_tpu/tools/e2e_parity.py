@@ -1,0 +1,610 @@
+"""One-command end-to-end bring-up + parity harness vs the torch reference.
+
+Builds the SAME ULIP prompt-tuning model in both frameworks — the torch
+reference from ``/root/reference/models/ULIP_models.py`` and this
+framework's ``ppt_tpu.models.Ulip`` — transfers the torch weights through
+``ppt_tpu.tools.ckpt_convert``, then runs k identical batches through the
+reference's eval path (``ULIP_WITH_IMAGE.forward``,
+``models/ULIP_models.py:260-283``) and ours, reporting the max
+embedding/logit/loss divergence per step. With ``--sgd_steps`` it also
+takes lockstep plain-SGD updates on the learnable prompt tokens in both
+frameworks (head_type 0: the prompt-only trainable partition,
+``main_cls.py:155-234`` workload) and diffs the loss trajectory.
+
+Synthetic stand-in (runs in this environment, no datasets/weights):
+
+    python -m ppt_tpu.tools.e2e_parity --tiny --steps 3 --sgd_steps 3
+
+Real-data bring-up — the day ``pointbert_ulip2.pt`` / ``slip_base_100ep.pt``
+and a dataset exist, accuracy-parity is ONE command:
+
+    python -m ppt_tpu.tools.e2e_parity \\
+        --point_ckpt data/pretrained_models/pointbert_ulip2.pt \\
+        --slip_ckpt data/initialize_models/slip_base_100ep.pt \\
+        --dataset modelnet40 --data_root data/modelnet40_normal_resampled \\
+        --steps 5 --batch_size 32 --npoints 1024
+
+Both frameworks run f32 on CPU by default (bit-comparable; pass --tpu to
+run OUR side on the TPU instead and measure the bf16 kernel-path drift).
+Reference quirks handled: the torch PromptLearner hard-codes ``.cuda()``
+(``ULIP_models.py:102``) — patched to identity; the reference tokenizer
+needs ftfy/regex (absent here) — replaced by our golden-parity-tested
+``ClipTokenizer`` behind the reference's ``SimpleTokenizer`` interface;
+FPS start randomness pinned to index 0 in both (the
+``test_full_model_parity.py`` convention).
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import json
+import sys
+import types
+
+import numpy as np
+
+REF = "/root/reference"
+
+
+# ---------------------------------------------------------------------------
+# reference import machinery (stubs for deps absent in this env)
+# ---------------------------------------------------------------------------
+
+
+def _stub(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+class _EasyDict(dict):
+    def __init__(self, d=None, **kw):
+        super().__init__()
+        for k, v in dict(d or {}, **kw).items():
+            self[k] = _EasyDict(v) if isinstance(v, dict) else v
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+    __setattr__ = dict.__setitem__
+
+
+def _install_stubs():
+    import torch
+
+    from ppt_tpu.prompt.tokenizer import ClipTokenizer
+
+    _ct = ClipTokenizer()
+
+    class SimpleTokenizer:
+        """Reference-interface shim over our ClipTokenizer (parity-pinned
+        by 6,403 reference-generated golden fixtures in
+        tests/fixtures/tokenizer_goldens*). Single-string calls squeeze
+        to [L] exactly like ``utils/tokenizer.py:162-164``."""
+
+        def __init__(self, *a, **k):
+            pass
+
+        def encode(self, text):
+            return _ct.encode(text)
+
+        def __call__(self, texts, context_length=77):
+            single = isinstance(texts, str)
+            ids = _ct([texts] if single else list(texts), context_length)
+            t = torch.as_tensor(np.asarray(ids), dtype=torch.long)
+            return t[0] if single else t
+
+    class _DropPath(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    _stub("easydict", EasyDict=_EasyDict)
+    _stub("utils.tokenizer", SimpleTokenizer=SimpleTokenizer)
+    _stub("cosine_annealing_warmup", CosineAnnealingWarmupRestarts=object)
+    _stub("open3d")
+    _stub("torch._six", string_classes=str)
+    _stub("ftfy", fix_text=lambda s: s)
+    _stub("timm")
+    _stub("timm.models")
+    _stub("timm.models.layers", DropPath=_DropPath)
+    _stub("matplotlib")
+    _stub("matplotlib.pyplot")
+    _stub("mpl_toolkits")
+    _stub("mpl_toolkits.mplot3d", Axes3D=object)
+
+
+@contextlib.contextmanager
+def _pinned_fps():
+    """Pin torch's random FPS start to index 0 (our convention)."""
+    import torch
+
+    orig = torch.randint
+
+    def fixed(low, high, size, **kw):
+        return torch.zeros(
+            size, dtype=kw.get("dtype", torch.long), device=kw.get("device")
+        )
+
+    torch.randint = fixed
+    try:
+        yield
+    finally:
+        torch.randint = orig
+
+
+@contextlib.contextmanager
+def _cpu_cuda():
+    """The reference PromptLearner hard-codes .cuda() (ULIP_models.py:102)."""
+    import torch
+
+    orig = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda = orig
+
+
+def _import_reference():
+    _install_stubs()
+    sys.path.insert(0, REF)
+    try:
+        import importlib
+
+        ulip_models = importlib.import_module("models.ULIP_models")
+        point_encoder_mod = importlib.import_module(
+            "models.pointbert.point_encoder"
+        )
+    finally:
+        sys.path.pop(0)
+    return ulip_models, point_encoder_mod
+
+
+# ---------------------------------------------------------------------------
+# model pair construction
+# ---------------------------------------------------------------------------
+
+_TINY = dict(
+    trans_dim=96, depth=3, num_heads=6, group_size=8, num_group=32,
+    encoder_dims=64, text_width=128, text_layers=2, text_heads=4,
+    embed_dim=64,
+)
+_FLAGSHIP = dict(
+    trans_dim=384, depth=12, num_heads=6, group_size=32, num_group=512,
+    encoder_dims=256, text_width=512, text_layers=12, text_heads=8,
+    embed_dim=512,
+)
+
+
+def build_torch_model(flags, classnames):
+    """The reference ULIP_WITH_IMAGE with a PointTransformer tower —
+    ULIP_PointBERT (``ULIP_models.py:443-459``) minus its hard-coded yaml
+    path / checkpoint IO, so dims are parameterizable for the synthetic
+    stand-in. Returns the eval-mode torch module."""
+    import torch
+
+    ulip_models, pe_mod = _import_reference()
+    dims = _TINY if flags.tiny else _FLAGSHIP
+
+    class Cfg:
+        trans_dim = dims["trans_dim"]
+        depth = dims["depth"]
+        drop_path_rate = 0.0
+        cls_dim = 40  # unused by the ULIP trunk
+        num_heads = dims["num_heads"]
+        group_size = dims["group_size"]
+        num_group = dims["num_group"]
+        encoder_dims = dims["encoder_dims"]
+
+    torch.manual_seed(flags.seed)
+    point_encoder = pe_mod.PointTransformer(Cfg(), args=None)
+    with _cpu_cuda():
+        model = ulip_models.ULIP_WITH_IMAGE(
+            embed_dim=dims["embed_dim"],
+            point_encoder=point_encoder,
+            context_length=77,
+            vocab_size=49408,
+            classnames=list(classnames),
+            template_init="",
+            class_name_position=flags.class_name_position,
+            num_learnable_prompt_tokens=flags.n_ctx,
+            transformer_width=dims["text_width"],
+            transformer_heads=dims["text_heads"],
+            transformer_layers=dims["text_layers"],
+            pc_feat_dims=2 * dims["trans_dim"],
+            device=None,
+            task="cls",
+        )
+
+    if flags.point_ckpt or flags.slip_ckpt:
+        _load_reference_ckpts(model, flags)
+
+    # REFERENCE QUIRK: the torch PromptLearner caches its prompt base
+    # embedding at construction (``ULIP_models.py:102``) — BEFORE
+    # ``initialize_parameters()`` re-inits the token-embedding table
+    # (``:192-195``) and before the pretrained SLIP table is copied in
+    # (``:484-507``) — so the reference as-written runs its text tower
+    # on a base embedded with the PRE-init random table (reproducible
+    # only through the global torch seed; the SLIP token embeddings
+    # never reach the prompt path). Our framework embeds the prompt
+    # base with the CURRENT table every forward — the intended
+    # semantics. Refresh the torch cache so both sides implement the
+    # intended semantics and the comparison is meaningful.
+    with torch.no_grad():
+        pl = model.prompt_learner
+        pl.embedding = model.token_embedding(pl.tokenized_prompts)
+    return model.eval()
+
+
+def _load_reference_ckpts(model, flags):
+    """The reference's name-by-name copy with skips
+    (``ULIP_models.py:472-507``): point-ckpt params win, slip fills the
+    text tower, prompt_learner/cls_head keep their init."""
+    import torch
+
+    def _sd(path):
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = ckpt.get("state_dict", ckpt)
+        return {k.replace("module.", "", 1): v for k, v in sd.items()}
+
+    point_sd = _sd(flags.point_ckpt) if flags.point_ckpt else {}
+    slip_sd = _sd(flags.slip_ckpt) if flags.slip_ckpt else {}
+    loaded = 0
+    for name, param in model.named_parameters():
+        if name == "prompt_learner.learnable_tokens" or "cls_head" in name:
+            continue
+        src = point_sd.get(name, slip_sd.get(name))
+        if src is None:
+            print(f"  [warn] {name}: in neither checkpoint, keeping init")
+            continue
+        param.data.copy_(src.data if hasattr(src, "data") else src)
+        loaded += 1
+    print(f"loaded {loaded} reference param tensors from checkpoints")
+
+
+def convert_to_flax(torch_model):
+    """Full ULIP state dict -> our variables tree, through the same
+    converters the real checkpoint files use (``ckpt_convert.py``)."""
+    from flax import traverse_util
+
+    from ppt_tpu.tools.ckpt_convert import (
+        _t,
+        convert_pointbert,
+        convert_slip_text,
+    )
+
+    sd = {k: v for k, v in torch_model.state_dict().items()}
+    point_tree = convert_pointbert(sd)  # point_encoder.* + pc_projection
+    text_tree = convert_slip_text(sd)  # text tower + logit_scale
+
+    p = {}
+    p.update(traverse_util.flatten_dict(point_tree["params"]))
+    p.update(traverse_util.flatten_dict(text_tree["params"]))
+    p[("prompt_learner", "learnable_tokens")] = _t(
+        sd["prompt_learner.learnable_tokens"]
+    )
+    s = traverse_util.flatten_dict(point_tree["batch_stats"])
+    # COPY every leaf: _t() returns numpy VIEWS of torch storage, and the
+    # jax CPU backend zero-copies aligned numpy arrays — without this the
+    # lockstep-SGD in-place torch update (tokens -= lr*grad) silently
+    # mutates the jax side's weights too (observed: step-0 loss computed
+    # with post-update tokens).
+    import jax
+
+    return jax.tree.map(
+        lambda x: np.array(x),
+        {
+            "params": traverse_util.unflatten_dict(p),
+            "batch_stats": traverse_util.unflatten_dict(s),
+        },
+    )
+
+
+def build_our_model(flags, classnames):
+    import jax
+    import jax.numpy as jnp
+
+    from ppt_tpu.models import PromptArrays, Ulip
+    from ppt_tpu.nn import PointBert, PointBertConfig, TextConfig
+    from ppt_tpu.prompt import build_prompt_spec
+
+    dims = _TINY if flags.tiny else _FLAGSHIP
+    cfg = PointBertConfig(
+        trans_dim=dims["trans_dim"], depth=dims["depth"],
+        num_heads=dims["num_heads"], group_size=dims["group_size"],
+        num_group=dims["num_group"], encoder_dims=dims["encoder_dims"],
+        drop_path_rate=0.0,
+    )
+    text_cfg = TextConfig(
+        width=dims["text_width"], layers=dims["text_layers"],
+        heads=dims["text_heads"], embed_dim=dims["embed_dim"],
+    )
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    model = Ulip(
+        point_encoder=PointBert(cfg, dtype=dt),
+        pc_feat_dims=2 * dims["trans_dim"],
+        n_ctx=flags.n_ctx,
+        text_config=text_cfg,
+        dtype=dt,
+    )
+    spec = build_prompt_spec(
+        classnames, n_ctx=flags.n_ctx,
+        class_name_position=flags.class_name_position,
+    )
+    prompts = PromptArrays.from_spec(spec)
+    return model, prompts
+
+
+# ---------------------------------------------------------------------------
+# batch source
+# ---------------------------------------------------------------------------
+
+
+def make_batches(flags, n_classes):
+    """k identical (pc, label) numpy batches for both frameworks."""
+    if flags.dataset == "synthetic":
+        rng = np.random.RandomState(flags.seed + 1)
+        for _ in range(flags.steps):
+            yield (
+                rng.rand(flags.batch_size, flags.npoints, 3).astype(
+                    np.float32
+                ),
+                rng.randint(0, n_classes, flags.batch_size),
+            )
+        return
+    from ppt_tpu.data import build_dataset
+
+    ds = build_dataset(flags.dataset, flags, "test")
+    for k in range(flags.steps):
+        lo = k * flags.batch_size
+        idx = np.arange(lo, lo + flags.batch_size) % len(ds)
+        yield ds.points[idx].astype(np.float32), ds.labels[idx]
+
+
+# ---------------------------------------------------------------------------
+# the comparison loop
+# ---------------------------------------------------------------------------
+
+
+def _torch_eval(model, pc_np):
+    """(pc_embed, text_embed, logits) through the reference eval path."""
+    import torch
+
+    with _pinned_fps(), torch.no_grad():
+        pc = torch.tensor(pc_np)
+        pc_embed = model.encode_pc(pc)
+        prompts_t = model.prompt_learner()
+        text_embed = model.encode_text(prompts_t, model.tokenized_prompts)
+        text_embed = text_embed / text_embed.norm(dim=-1, keepdim=True)
+        logits = model.logit_scale.exp() * pc_embed @ text_embed.t()
+    return pc_embed.numpy(), text_embed.numpy(), logits.numpy()
+
+
+def _report(name, got, want, worst):
+    a = np.abs(got - want)
+    rel = a / np.maximum(np.abs(want), 1e-6)
+    row = {
+        "quantity": name,
+        "max_abs": float(a.max()),
+        "max_rel": float(rel.max()),
+    }
+    worst[name] = max(worst.get(name, 0.0), row["max_abs"])
+    return row
+
+
+def run(flags) -> int:
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ppt_tpu.train.checkpoint import merge_pretrained
+
+    if flags.dataset == "synthetic":
+        import os
+
+        assets = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "assets", "labels.json",
+        )
+        classnames = json.load(open(assets))["modelnet40"][: flags.n_classes]
+    else:
+        from ppt_tpu.tasks.args import TaskArgs
+
+        classnames = TaskArgs(
+            dataset_name=flags.dataset, data_root=flags.data_root
+        ).load_classnames()
+    n_classes = len(classnames)
+    print(f"== building torch reference model ({n_classes} classes) ==")
+    tmodel = build_torch_model(flags, classnames)
+
+    print("== converting weights + building ppt_tpu model ==")
+    model, prompts = build_our_model(flags, classnames)
+    tree = convert_to_flax(tmodel)
+    pc0 = np.zeros((2, flags.npoints, 3), np.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(pc0), prompts
+    )
+    bs = variables.get("batch_stats", {})
+    merged = merge_pretrained(
+        {"params": variables["params"], "batch_stats": bs}, tree
+    )
+    # every torch leaf must have landed: count both sides
+    from flax import traverse_util
+
+    n_src = len(traverse_util.flatten_dict(tree["params"]))
+    n_dst = len(traverse_util.flatten_dict(merged["params"]))
+    print(f"   converted {n_src} torch tensors into {n_dst}-leaf tree")
+
+    @jax.jit
+    def ours(v, pc, pr):
+        pc_e = model.apply(v, pc, method=lambda m, x: m.encode_pc(x))
+        tx_e = model.apply(v, pr, method=lambda m, p: m.encode_text(p))
+        logits = model.apply(v, pc, pr)
+        return pc_e, tx_e, logits
+
+    worst: dict = {}
+    failures = 0
+    print(f"== {flags.steps} eval batches ==")
+    for k, (pc_np, label_np) in enumerate(make_batches(flags, n_classes)):
+        t_pc, t_tx, t_lg = _torch_eval(tmodel, pc_np)
+        j_pc, j_tx, j_lg = ours(merged, jnp.asarray(pc_np), prompts)
+        t_loss = float(
+            torch.nn.functional.cross_entropy(
+                torch.tensor(t_lg), torch.tensor(label_np)
+            )
+        )
+        j_loss = float(
+            optax.softmax_cross_entropy_with_integer_labels(
+                np.asarray(j_lg), label_np
+            ).mean()
+        )
+        rows = [
+            _report("pc_embed", np.asarray(j_pc), t_pc, worst),
+            _report("text_embed", np.asarray(j_tx), t_tx, worst),
+            _report("logits", np.asarray(j_lg), t_lg, worst),
+        ]
+        loss_diff = abs(j_loss - t_loss)
+        worst["loss"] = max(worst.get("loss", 0.0), loss_diff)
+        for r in rows:
+            ok = r["max_abs"] <= flags.atol + flags.rtol * 1.0
+            failures += not ok
+            print(
+                f"  step {k} {r['quantity']:>10}: max_abs {r['max_abs']:.3e} "
+                f"max_rel {r['max_rel']:.3e} {'ok' if ok else 'DIVERGED'}"
+            )
+        ok = loss_diff <= flags.atol
+        failures += not ok
+        print(
+            f"  step {k}       loss: torch {t_loss:.6f} ours {j_loss:.6f} "
+            f"diff {loss_diff:.3e} {'ok' if ok else 'DIVERGED'}"
+        )
+
+    if flags.sgd_steps:
+        failures += _sgd_trajectory(
+            flags, tmodel, model, merged, prompts, n_classes
+        )
+
+    print(
+        "== summary:",
+        json.dumps({k: round(v, 8) for k, v in worst.items()}),
+        "==",
+    )
+    print("PARITY OK" if failures == 0 else f"PARITY FAILED ({failures})")
+    return 1 if failures else 0
+
+
+def _sgd_trajectory(flags, tmodel, model, merged, prompts, n_classes) -> int:
+    """Lockstep plain-SGD on the learnable prompt tokens (the head_type-0
+    trainable partition) in both frameworks; diffs the loss trajectory.
+    Grads must flow THROUGH the frozen towers into the prompt vectors —
+    exactly the path the reference trains (``main_cls.py:155-234``)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    lr = flags.sgd_lr
+    rng = np.random.RandomState(flags.seed + 2)
+    tokens = tmodel.prompt_learner.learnable_tokens
+    tokens.requires_grad_(True)
+
+    def j_loss_fn(ctx, v, pc, labels):
+        v2 = dict(v)
+        params = dict(v2["params"])
+        pl = dict(params["prompt_learner"])
+        pl["learnable_tokens"] = ctx
+        params["prompt_learner"] = pl
+        v2["params"] = params
+        logits = model.apply(v2, pc, prompts)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+
+    j_grad = jax.jit(jax.value_and_grad(j_loss_fn))
+    j_ctx = merged["params"]["prompt_learner"]["learnable_tokens"]
+
+    failures = 0
+    print(f"== {flags.sgd_steps} lockstep SGD steps (lr={lr}) ==")
+    for k in range(flags.sgd_steps):
+        pc_np = rng.rand(flags.batch_size, flags.npoints, 3).astype(
+            np.float32
+        )
+        label_np = rng.randint(0, n_classes, flags.batch_size)
+
+        with _pinned_fps():
+            logits_t = tmodel(torch.tensor(pc_np))
+            loss_t = torch.nn.functional.cross_entropy(
+                logits_t, torch.tensor(label_np)
+            )
+        (grad_t,) = torch.autograd.grad(loss_t, [tokens])
+        with torch.no_grad():
+            tokens -= lr * grad_t
+            # the reference PromptLearner embeds its base ONCE at init;
+            # only the learnable tokens move, nothing to re-embed
+
+        loss_j, grad_j = j_grad(
+            j_ctx, merged, jnp.asarray(pc_np), jnp.asarray(label_np)
+        )
+        j_ctx = j_ctx - lr * grad_j
+
+        diff = abs(float(loss_j) - float(loss_t.detach()))
+        ok = diff <= flags.atol * 10  # drift compounds across steps
+        failures += not ok
+        print(
+            f"  sgd step {k}: torch loss {float(loss_t.detach()):.6f} "
+            f"ours {float(loss_j):.6f} diff {diff:.3e} "
+            f"{'ok' if ok else 'DIVERGED'}"
+        )
+    return failures
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    ap.add_argument("--tiny", action="store_true",
+                    help="small dims (CPU-fast synthetic stand-in)")
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--sgd_steps", type=int, default=0)
+    ap.add_argument("--sgd_lr", type=float, default=0.05)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--npoints", type=int, default=256)
+    ap.add_argument("--n_ctx", type=int, default=8)
+    ap.add_argument("--n_classes", type=int, default=8,
+                    help="synthetic mode: how many ModelNet40 classnames")
+    ap.add_argument("--class_name_position", default="middle",
+                    choices=["front", "middle", "end"])
+    ap.add_argument("--dataset", default="synthetic")
+    ap.add_argument("--data_root", default="")
+    ap.add_argument("--point_ckpt", default="",
+                    help="reference pointbert(_ulip2).pt")
+    ap.add_argument("--slip_ckpt", default="",
+                    help="reference slip_base_100ep.pt")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--atol", type=float, default=5e-3)
+    ap.add_argument("--rtol", type=float, default=2e-3)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run OUR side on TPU (bf16 kernel-path drift)")
+    flags = ap.parse_args(argv)
+
+    if not flags.tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    return run(flags)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
