@@ -63,20 +63,19 @@ def _gelu_tanh(x32):
     return 0.5 * x32 * (1.0 + jnp.tanh(c * (x32 + 0.044715 * x32 * x32 * x32)))
 
 
-def _block_kernel(
-    l_valid: int, heads: int, d: int, dtype,
-    x_ref, pos_ref, dp_ref,
+def _block_body(
+    l_valid: int, heads: int, d: int, dtype, b: int,
+    x0,
+    dp_ref,
     ln1s_ref, ln1b_ref, wqkv_ref,
     wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref,
     wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-    o_ref,
 ):
+    """The whole-block math on a VMEM-resident ``x0 = x + pos`` [Lp, C];
+    returns x2 (the block output) in the compute dtype."""
     c = heads * d
     scale = 1.0 / math.sqrt(d)
-    b = pl.program_id(0)  # dp lives whole in SMEM; index the batch row
-    # x0 = x + pos in compute dtype (matches the XLA path's bf16 add)
-    x0 = x_ref[0] + pos_ref[0]  # [Lp, C]
 
     # --- attention sublayer -------------------------------------------
     xn = _ln_f32(
@@ -127,7 +126,57 @@ def _block_kernel(
         h1, wfc2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dtype) + bfc2_ref[0].astype(dtype)
-    o_ref[0] = x1 + y2 * dp_ref[b, 1].astype(dtype)
+    return x1 + y2 * dp_ref[b, 1].astype(dtype)
+
+
+def _block_kernel(
+    l_valid: int, heads: int, d: int, dtype,
+    x_ref, pos_ref, dp_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref,
+    wproj_ref, bproj_ref,
+    ln2s_ref, ln2b_ref,
+    wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    o_ref,
+):
+    b = pl.program_id(0)  # dp lives whole in SMEM; index the batch row
+    # x0 = x + pos in compute dtype (matches the XLA path's bf16 add)
+    o_ref[0] = _block_body(
+        l_valid, heads, d, dtype, b,
+        x_ref[0] + pos_ref[0],
+        dp_ref, ln1s_ref, ln1b_ref, wqkv_ref, wproj_ref, bproj_ref,
+        ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    )
+
+
+def _block_readout_kernel(
+    l_valid: int, heads: int, d: int, dtype,
+    x_ref, pos_ref, dp_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref,
+    wproj_ref, bproj_ref,
+    ln2s_ref, ln2b_ref,
+    wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    lnfs_ref, lnfb_ref,
+    o_ref,
+):
+    """The last block + the cls readout fused: final f32 LayerNorm over
+    the block output, then row 0 = normalized cls token, row 1 = lanewise
+    max over the normalized point tokens (rows 1..l_valid). Output block
+    [1, 8, C] f32 (8 sublanes for Mosaic alignment; rows 2..7 unused).
+    The [B, L, C] token tensor and the separate f32 LN + max-pool pass
+    never touch HBM (~38 MB/step saved at the flagship shape)."""
+    b = pl.program_id(0)
+    x2 = _block_body(
+        l_valid, heads, d, dtype, b,
+        x_ref[0] + pos_ref[0],
+        dp_ref, ln1s_ref, ln1b_ref, wqkv_ref, wproj_ref, bproj_ref,
+        ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    )
+    xn = _ln_f32(x2.astype(jnp.float32), lnfs_ref[0], lnfb_ref[0])
+    row = lax.broadcasted_iota(jnp.int32, xn.shape, 0)
+    tok = jnp.where((row >= 1) & (row < l_valid), xn, -jnp.inf)
+    mx = jnp.max(tok, axis=0, keepdims=True)  # [1, C]
+    pad = jnp.zeros((6, xn.shape[1]), jnp.float32)
+    o_ref[0] = jnp.concatenate([xn[0:1], mx, pad], axis=0)  # [8, C]
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
@@ -189,6 +238,58 @@ def _block_pallas(
         ln2s[None], ln2b[None], wfc1, bfc1[None], wfc2, bfc2[None],
     )
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _block_readout_pallas(
+    x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+    wfc1, bfc1, wfc2, bfc2, lnfs, lnfb, *,
+    heads: int, interpret: bool = False
+):
+    """Last block + fused cls readout. Returns [B, 8, C] f32: row 0 =
+    final-LN'd cls token, row 1 = lanewise max over the LN'd point
+    tokens (rows 2..7 zero). Caller concatenates rows 0 and 1."""
+    B, L, C = x.shape
+    d = C // heads
+    Lp = _round_up(L, 16)
+    hid = wfc1.shape[1]
+
+    def rowspec(n_lanes):
+        return pl.BlockSpec(
+            (1, Lp, n_lanes), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def wspec(r, c_):
+        return pl.BlockSpec((r, c_), lambda b: (0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_block_readout_kernel, L, heads, d, x.dtype),
+        grid=(B,),
+        in_specs=[
+            rowspec(C), rowspec(C),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            wspec(1, C), wspec(1, C),
+            wspec(C, 3 * C),
+            wspec(C, C), wspec(1, C),
+            wspec(1, C), wspec(1, C),
+            wspec(C, hid), wspec(1, hid),
+            wspec(hid, C), wspec(1, C),
+            wspec(1, C), wspec(1, C),  # final LN scale/bias
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 8, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        x, pos, dp,
+        ln1s[None], ln1b[None], wqkv, wproj, bproj[None],
+        ln2s[None], ln2b[None], wfc1, bfc1[None], wfc2, bfc2[None],
+        lnfs[None], lnfb[None],
+    )
 
 
 def _block_twin(
@@ -268,3 +369,55 @@ def _fvb_bwd(heads, res, g):
 
 
 fused_vit_block.defvjp(_fvb_fwd, _fvb_bwd)
+
+
+def _readout_twin(
+    x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+    wfc1, bfc1, wfc2, bfc2, lnfs, lnfb, *, heads: int
+):
+    """XLA twin of the fused block+readout — golden for tests, VJP
+    source. Matches the unfused trunk tail exactly: f32 final LayerNorm,
+    cls row + max over point tokens, packed as [B, 8, C] f32."""
+    x2 = _block_twin(
+        x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+        wfc1, bfc1, wfc2, bfc2, heads=heads,
+    )
+    xn = _ln_f32(x2.astype(jnp.float32), lnfs, lnfb)
+    B, _, C = xn.shape
+    out = jnp.zeros((B, 8, C), jnp.float32)
+    out = out.at[:, 0].set(xn[:, 0])
+    return out.at[:, 1].set(jnp.max(xn[:, 1:], axis=1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16,))
+def fused_vit_block_readout(
+    x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+    wfc1, bfc1, wfc2, bfc2, lnfs, lnfb, heads
+):
+    """Last ViT block + cls readout fused (Pallas forward, XLA recompute
+    VJP): the [B, L, C] token tensor of the final block and the separate
+    f32 LayerNorm + max-pool pass never touch HBM — the kernel emits the
+    [B, 8, C] readout rows directly (row 0 = LN'd cls, row 1 = lanewise
+    token max; reference readout ``point_encoder.py:251``)."""
+    from ppt_tpu.kernels.attention import _is_tpu
+
+    return _block_readout_pallas(
+        x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+        wfc1, bfc1, wfc2, bfc2, lnfs, lnfb,
+        heads=heads, interpret=not _is_tpu(),
+    )
+
+
+def _fvbr_fwd(x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+              wfc1, bfc1, wfc2, bfc2, lnfs, lnfb, heads):
+    args = (x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+            wfc1, bfc1, wfc2, bfc2, lnfs, lnfb)
+    return fused_vit_block_readout(*args, heads), args
+
+
+def _fvbr_bwd(heads, res, g):
+    _, vjp = jax.vjp(lambda *a: _readout_twin(*a, heads=heads), *res)
+    return vjp(g)
+
+
+fused_vit_block_readout.defvjp(_fvbr_fwd, _fvbr_bwd)

@@ -296,7 +296,15 @@ class VitBlock(nn.Module):
     def __call__(
         self, x: jax.Array, deterministic: bool = True,
         pos: Optional[jax.Array] = None,
+        readout_ln: Optional[dict] = None,
     ) -> jax.Array:
+        """``readout_ln``: the trunk's final-LayerNorm params
+        ({'scale', 'bias'}). When given AND the fused kernel engages,
+        the block fuses the cls readout (final f32 LN + cls/max-pool,
+        reference ``point_encoder.py:251``) into its epilogue and
+        returns the [B, 2C] f32 feature instead of [B, L, C] tokens —
+        the caller must then skip its own LN/readout. Ignored on the
+        unfused path (caller checks the returned ndim)."""
         import os
 
         from ppt_tpu.kernels.attention import FLASH_MIN_SEQ, _is_tpu
@@ -339,8 +347,7 @@ class VitBlock(nn.Module):
                     self.make_rng("droppath"), keep, (B,)
                 ).astype(jnp.float32) / keep
                 dp = jnp.stack([m1, m2], axis=1)
-            return fused_vit_block(
-                x, pos.astype(x.dtype), dp,
+            weights = (
                 p["norm1"]["scale"], p["norm1"]["bias"],
                 p["attn"]["qkv"]["kernel"].astype(dt),
                 p["attn"]["proj"]["kernel"].astype(dt),
@@ -350,7 +357,18 @@ class VitBlock(nn.Module):
                 p["mlp"]["fc1"]["bias"],
                 p["mlp"]["fc2"]["kernel"].astype(dt),
                 p["mlp"]["fc2"]["bias"],
-                self.num_heads,
+            )
+            if readout_ln is not None:
+                from ppt_tpu.kernels.vitblock import fused_vit_block_readout
+
+                ro = fused_vit_block_readout(
+                    x, pos.astype(x.dtype), dp, *weights,
+                    readout_ln["scale"], readout_ln["bias"],
+                    self.num_heads,
+                )  # [B, 8, C] f32
+                return jnp.concatenate([ro[:, 0], ro[:, 1]], axis=-1)
+            return fused_vit_block(
+                x, pos.astype(x.dtype), dp, *weights, self.num_heads
             )
         if pos is not None:
             x = x + pos
@@ -403,14 +421,28 @@ class PointBert(nn.Module):
         )
 
         rates = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        # fused readout: hand the final-LN params to the LAST block so
+        # its kernel emits the [B, 2C] feature directly (the params are
+        # created by the nn.LayerNorm below during init, when the fused
+        # path is off by construction)
+        norm_p = (
+            None
+            if self.is_initializing()
+            else self.variables["params"].get("norm")
+        )
         for i in range(cfg.depth):
+            is_last = i == cfg.depth - 1
             x = VitBlock(
                 cfg.num_heads,
                 drop_path=float(rates[i]),
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, deterministic=not train, pos=pos)
-
+            )(
+                x, deterministic=not train, pos=pos,
+                readout_ln=norm_p if is_last else None,
+            )
+        if x.ndim == 2:  # the last block fused the readout
+            return x
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         return jnp.concatenate([x[:, 0], jnp.max(x[:, 1:], axis=1)], axis=-1)
 

@@ -536,6 +536,72 @@ class TestFusedVitBlock:
         scale = np.max(np.abs(want)) or 1.0
         assert np.max(np.abs(got - want)) / scale < 3e-2
 
+    def test_readout_kernel_matches_twin_f32(self, rng):
+        """Fused block+readout (final f32 LN, cls row + token max) vs
+        its XLA twin at f32: exact to float rounding."""
+        from ppt_tpu.kernels.vitblock import (
+            _block_readout_pallas,
+            _readout_twin,
+        )
+
+        C, H = 128, 4
+        f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32)) * 0.05
+        x, pos = f(2, 69, C), f(2, 69, C)
+        dp = jnp.asarray([[1.0, 1.0], [0.0, 2.0]], jnp.float32)
+        args = (
+            x, pos, dp,
+            jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32),
+            f(C, 3 * C), f(C, C), f(C),
+            jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32),
+            f(C, 4 * C), f(4 * C), f(4 * C, C), f(C),
+            1.0 + 0.1 * f(C), 0.1 * f(C),  # final LN scale/bias
+        )
+        got = np.asarray(_block_readout_pallas(*args, heads=H, interpret=True))
+        want = np.asarray(_readout_twin(*args, heads=H))
+        assert got.shape == (2, 8, C)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        assert np.all(got[:, 2:] == 0.0)
+
+    def test_full_pointbert_fused_readout_vs_plain(self, rng, monkeypatch):
+        """The fused-readout trunk tail (last block emits the [B, 2C]
+        feature directly) must match the plain LN + cls/max readout
+        end-to-end, forward AND gradient-to-input."""
+        import jax
+
+        from ppt_tpu.nn.pointbert import PointBert, PointBertConfig
+
+        cfg = PointBertConfig(
+            trans_dim=128, depth=2, num_heads=4, group_size=8,
+            num_group=16, encoder_dims=32, drop_path_rate=0.0,
+        )
+        model = PointBert(config=cfg, dtype=jnp.bfloat16)
+        pts = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), pts)
+
+        want = np.asarray(model.apply(variables, pts)).astype(np.float32)
+        monkeypatch.setenv("PPT_FUSED_BLOCK", "1")
+        got = np.asarray(model.apply(variables, pts)).astype(np.float32)
+        assert got.shape == want.shape == (2, 2 * cfg.trans_dim)
+        scale = np.max(np.abs(want)) or 1.0
+        assert np.max(np.abs(got - want)) / scale < 3e-2
+
+        # gradient equivalence at f32: under bf16 the max-pool's argmax
+        # can flip on near-tie tokens between the two recomputations
+        # (legitimate subgradient divergence, not an error); at f32 the
+        # paths must agree tightly
+        monkeypatch.delenv("PPT_FUSED_BLOCK")
+        model32 = PointBert(config=cfg, dtype=jnp.float32)
+        v32 = model32.init(jax.random.PRNGKey(0), pts)
+
+        def loss(p):
+            return jnp.sum(jnp.sin(model32.apply(v32, p)))
+
+        g_want = np.asarray(jax.grad(loss)(pts))
+        monkeypatch.setenv("PPT_FUSED_BLOCK", "1")
+        g_got = np.asarray(jax.grad(loss)(pts))
+        gscale = np.max(np.abs(g_want)) or 1.0
+        assert np.max(np.abs(g_got - g_want)) / gscale < 1e-3
+
 
 class TestFusedTextBlock:
     """kernels/textblock.py — whole-block CLIP text fusion vs the plain
