@@ -78,6 +78,99 @@ SHAPENETPART_PART_NAMES = [
 ]
 
 
+def read_pcd(path: str) -> np.ndarray:
+    """Uncompressed ``.pcd`` reader (ascii + binary), pure numpy.
+
+    Parity surface: the reference reads ShapeNet clouds through
+    ``utils/io.py:26-60`` (npy/pcd/h5/txt; the pcd branch delegates to
+    open3d and supports uncompressed files only). open3d is absent here;
+    this parses the PCD v0.7 header directly and returns the xyz
+    columns as ``[N, 3]`` float, matching ``np.array(pc.points)``.
+    """
+    np_types = {
+        ("F", 4): "f4", ("F", 8): "f8",
+        ("I", 1): "i1", ("I", 2): "i2", ("I", 4): "i4",
+        ("U", 1): "u1", ("U", 2): "u2", ("U", 4): "u4",
+    }
+    with open(path, "rb") as f:
+        fields: List[str] = []
+        sizes: List[int] = []
+        types: List[str] = []
+        counts: List[int] = []
+        width = height = npts = 0
+        mode = ""
+        while True:
+            raw = f.readline()
+            if not raw:
+                raise ValueError(f"{path}: truncated PCD header")
+            line = raw.decode("ascii", "ignore").strip()
+            if not line or line.startswith("#"):
+                continue
+            key, _, rest = line.partition(" ")
+            key = key.upper()
+            if key == "FIELDS":
+                fields = rest.split()
+            elif key == "SIZE":
+                sizes = [int(v) for v in rest.split()]
+            elif key == "TYPE":
+                types = rest.split()
+            elif key == "COUNT":
+                counts = [int(v) for v in rest.split()]
+            elif key == "WIDTH":
+                width = int(rest)
+            elif key == "HEIGHT":
+                height = int(rest)
+            elif key == "POINTS":
+                npts = int(rest)
+            elif key == "DATA":
+                mode = rest.strip().lower()
+                break
+        npts = npts or width * height
+        counts = counts or [1] * len(fields)
+        dtype = np.dtype(
+            [
+                (name, np_types[(t, s)], (c,)) if c > 1
+                else (name, np_types[(t, s)])
+                for name, s, t, c in zip(fields, sizes, types, counts)
+            ]
+        )
+        if mode == "ascii":
+            flat = np.loadtxt(f, dtype=np.float64, ndmin=2)
+            cols = {}
+            off = 0
+            for name, c in zip(fields, counts):
+                cols[name] = flat[:, off] if c == 1 else flat[:, off:off + c]
+                off += c
+            xyz = np.stack([cols["x"], cols["y"], cols["z"]], axis=1)
+        elif mode == "binary":
+            rec = np.frombuffer(f.read(npts * dtype.itemsize), dtype=dtype)
+            xyz = np.stack([rec["x"], rec["y"], rec["z"]], axis=1)
+        else:
+            raise ValueError(
+                f"{path}: unsupported PCD DATA mode {mode!r} "
+                "(ascii/binary only — same limit as the reference)"
+            )
+    return np.ascontiguousarray(xyz.astype(np.float64))
+
+
+def read_cloud(path: str) -> np.ndarray:
+    """Extension-dispatched cloud reader (``utils/io.py:26-60`` parity:
+    npy/pcd/h5/txt)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        return np.load(path)
+    if ext == ".pcd":
+        return read_pcd(path)
+    if ext == ".h5":
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return f["data"][()]
+    if ext == ".txt":
+        return np.loadtxt(path)
+    raise ValueError(f"Unsupported file extension: {ext}")
+
+
 def pc_normalize(pc: np.ndarray) -> np.ndarray:
     """Unit-sphere normalize one cloud (``pc_normalize``, :33-40)."""
     centered = pc - pc.mean(axis=0)
@@ -311,7 +404,9 @@ def load_shapenet55(
         if name not in name_to_idx:
             name_to_idx[name] = len(classnames)
             classnames.append(name)
-        data = np.load(os.path.join(root, pc_dirname, line)).astype(np.float32)
+        data = read_cloud(os.path.join(root, pc_dirname, line)).astype(
+            np.float32
+        )
         if npoints < data.shape[0]:
             choice = rng.permutation(data.shape[0])[:npoints]
         else:

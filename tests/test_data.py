@@ -1,6 +1,7 @@
 """Data layer tests: augmentations match reference distributions/shapes,
 loader sharding semantics, few-shot sampling."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -147,3 +148,84 @@ class TestLoader:
         loader.set_epoch(1)
         b1 = next(iter(loader))["pc"].copy()
         assert not np.array_equal(b0, b1)
+
+
+class TestCloudIO:
+    """read_cloud / read_pcd — the reference IO surface
+    (utils/io.py:26-60: npy/pcd/h5/txt)."""
+
+    def _xyz(self, n=32, seed=0):
+        return np.random.RandomState(seed).rand(n, 3).astype(np.float32)
+
+    def test_pcd_ascii(self, tmp_path):
+        from ppt_tpu.data.datasets import read_cloud
+
+        xyz = self._xyz()
+        p = tmp_path / "cloud.pcd"
+        header = (
+            "# .PCD v0.7 - Point Cloud Data file format\n"
+            "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+            f"COUNT 1 1 1\nWIDTH {len(xyz)}\nHEIGHT 1\n"
+            f"VIEWPOINT 0 0 0 1 0 0 0\nPOINTS {len(xyz)}\nDATA ascii\n"
+        )
+        with open(p, "w") as f:
+            f.write(header)
+            for row in xyz:
+                f.write(" ".join(f"{v:.8f}" for v in row) + "\n")
+        got = read_cloud(str(p))
+        np.testing.assert_allclose(got, xyz, rtol=0, atol=1e-6)
+
+    def test_pcd_binary_with_extra_fields(self, tmp_path):
+        from ppt_tpu.data.datasets import read_cloud
+
+        xyz = self._xyz(seed=1)
+        rgb = np.random.RandomState(2).randint(
+            0, 255, (len(xyz), 1)
+        ).astype(np.uint8)
+        rec = np.zeros(
+            len(xyz),
+            dtype=np.dtype(
+                [("x", "f4"), ("y", "f4"), ("z", "f4"), ("rgb", "u1")]
+            ),
+        )
+        rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+        rec["rgb"] = rgb[:, 0]
+        p = tmp_path / "cloud_bin.pcd"
+        header = (
+            "VERSION 0.7\nFIELDS x y z rgb\nSIZE 4 4 4 1\nTYPE F F F U\n"
+            f"COUNT 1 1 1 1\nWIDTH {len(xyz)}\nHEIGHT 1\n"
+            f"POINTS {len(xyz)}\nDATA binary\n"
+        )
+        with open(p, "wb") as f:
+            f.write(header.encode())
+            f.write(rec.tobytes())
+        got = read_cloud(str(p))
+        assert got.shape == (len(xyz), 3)
+        np.testing.assert_allclose(got, xyz, rtol=0, atol=1e-6)
+
+    def test_pcd_compressed_rejected(self, tmp_path):
+        from ppt_tpu.data.datasets import read_pcd
+
+        p = tmp_path / "bad.pcd"
+        p.write_text(
+            "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+            "WIDTH 1\nHEIGHT 1\nPOINTS 1\nDATA binary_compressed\n"
+        )
+        with pytest.raises(ValueError, match="binary_compressed"):
+            read_pcd(str(p))
+
+    def test_npy_txt_h5_dispatch(self, tmp_path):
+        from ppt_tpu.data.datasets import read_cloud
+
+        xyz = self._xyz(seed=3)
+        np.save(tmp_path / "c.npy", xyz)
+        np.savetxt(tmp_path / "c.txt", xyz)
+        import h5py
+
+        with h5py.File(tmp_path / "c.h5", "w") as f:
+            f.create_dataset("data", data=xyz)
+        for name in ("c.npy", "c.txt", "c.h5"):
+            got = read_cloud(str(tmp_path / name))
+            np.testing.assert_allclose(got, xyz, rtol=0, atol=1e-6)
+        with pytest.raises(ValueError, match="Unsupported"):
+            read_cloud(str(tmp_path / "c.xyz"))
