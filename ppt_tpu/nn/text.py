@@ -182,6 +182,8 @@ class TextTransformer(nn.Module):
         ``PromptArrays.from_spec``), so callers may pass truncated
         prompts; the positional embedding and mask are sliced to match.
         """
+        import os
+
         L = prompt_embeds.shape[1]
         if L > self.config.context_length:
             raise ValueError(
@@ -191,6 +193,59 @@ class TextTransformer(nn.Module):
         x = prompt_embeds.astype(self.dtype) + self.positional_embedding[
             :L
         ].astype(self.dtype)
+
+        # Whole-TOWER fused Pallas kernel (kernels/texttower.py): all 12
+        # blocks + EOT pooling + ln_final + projection in one call,
+        # gridded over 8-class chunks, with a fully hand-written
+        # input-cotangent backward kernel. On-chip EXACT (kernel_check
+        # row, grads ≤1e-4 vs autodiff at f32) but measured BREAK-EVEN
+        # with the XLA tower at the flagship shape (fwd 1.23 vs 1.20 ms,
+        # fwd+bwd 2.887 vs 2.887 — docs/PROFILE_r04.md: the r3 profile's
+        # "6.2 ms text" attribution was inflated ~2x by step_profile's
+        # session variance; the XLA chain was never the bottleneck
+        # claimed). DEFAULT OFF — identical speed, extra compile time;
+        # PPT_FUSED_TEXT_TOWER=1 enables for re-measurement.
+        cfg = self.config
+        use_tower = (
+            not self.is_initializing()
+            and cfg.width % 128 == 0
+            and cfg.embed_dim % 128 == 0
+            and not os.environ.get("PPT_FORCE_XLA_ATTN")
+            and os.environ.get("PPT_FUSED_TEXT_TOWER", "0") == "1"
+        )
+        if use_tower:
+            from ppt_tpu.kernels.texttower import fused_text_tower
+
+            p = self.variables["params"]
+            dt = self.dtype
+
+            def stk(*path, cast=None):
+                arrs = [p[f"block_{i}"] for i in range(cfg.layers)]
+                for key in path:
+                    arrs = [a[key] for a in arrs]
+                out = jnp.stack(arrs)
+                return out.astype(cast) if cast is not None else out
+
+            eot_onehot = (
+                jnp.arange(L)[None, :] == eot_positions[:, None]
+            ).astype(jnp.float32)
+            out = fused_text_tower(
+                x, eot_onehot,
+                stk("ln_1", "norm", "scale"), stk("ln_1", "norm", "bias"),
+                stk("attn", "in_proj", "kernel", cast=dt),
+                stk("attn", "in_proj", "bias"),
+                stk("attn", "out_proj", "kernel", cast=dt),
+                stk("attn", "out_proj", "bias"),
+                stk("ln_2", "norm", "scale"), stk("ln_2", "norm", "bias"),
+                stk("c_fc", "kernel", cast=dt), stk("c_fc", "bias"),
+                stk("c_proj", "kernel", cast=dt), stk("c_proj", "bias"),
+                p["ln_final"]["norm"]["scale"],
+                p["ln_final"]["norm"]["bias"],
+                self.text_projection,
+                cfg.heads,
+            )
+            return out.astype(self.dtype)
+
         mask = jnp.asarray(self._mask[:L, :L])
         for block in self.blocks:
             x = block(x, mask)

@@ -164,6 +164,36 @@ def main() -> int:
             f"total mass {m_sum:.1f} (want {want_mass})",
         )
 
+    # --- fused whole text tower vs the plain XLA tower (flagship
+    # shape: 40 classes x L48, width 512, 12 layers, 8 heads) ---
+    import os as _os
+
+    from ppt_tpu.nn import TextConfig, TextTransformer
+
+    tcfg = TextConfig()
+    tmodel = TextTransformer(tcfg, dtype=jnp.bfloat16)
+    tx = jnp.asarray(rng.randn(40, 48, 512).astype(np.float32) * 0.1)
+    teot = jnp.asarray(rng.randint(4, 48, 40).astype(np.int32))
+    tvars = jax.jit(tmodel.init)(jax.random.PRNGKey(3), tx, teot)
+    _os.environ["PPT_FUSED_TEXT_TOWER"] = "0"
+    want_t = np.asarray(
+        jax.jit(lambda v, a, b: tmodel.apply(v, a, b))(tvars, tx, teot)
+    ).astype(np.float32)
+    _os.environ["PPT_FUSED_TEXT_TOWER"] = "1"
+    got_t = np.asarray(
+        jax.jit(lambda v, a, b: tmodel.apply(v, a, b))(tvars, tx, teot)
+    ).astype(np.float32)
+    _os.environ.pop("PPT_FUSED_TEXT_TOWER", None)
+    rel = float(
+        np.max(np.abs(got_t - want_t)) / (np.max(np.abs(want_t)) or 1.0)
+    )
+    check(
+        "text_tower[40x48x512,12L]",
+        rel < 3e-2 and np.isfinite(got_t).all(),
+        f"max rel err {rel:.2e} vs XLA tower (bf16), "
+        f"finite={bool(np.isfinite(got_t).all())}",
+    )
+
     # --- ball_query_gather_feats vs query_ball_point + 2 gathers ---
     from ppt_tpu.kernels.group import ball_query_gather_feats
 
