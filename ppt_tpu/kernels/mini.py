@@ -86,13 +86,23 @@ def _forward_twin(
 
 def _stats_kernel(
     m_size, dtype,
-    x_ref, fw1_ref, fb1_ref, w2_ref, b2_ref, wg_ref, wl_ref, bs_ref,
-    out_ref,
+    x_ref, fw1_ref, fb1_ref, w2_ref, b2_ref,
+    m2_ref, sg_ref, gm_ref,
 ):
-    """x_ref: [1, gm_blk, 3]; out_ref: [1, 8, hw] per-tile partials —
-    row 0 = sum(h), row 1 = sum(h^2), rows 2-7 padding (a [1, hw] output
-    block has sublane dim 1, which Mosaic's (8, 128) tiling rejects)."""
+    """Moment-matrix stats sweep (round-4 rewrite): the BN2 batch
+    sums over ``h = x2@wl + max_M(x2)@wg + bs`` decompose algebraically —
+    ``Σ_p (x2@wl)_c² = (wlᵀ (Σ_p x2 x2ᵀ) wl)_cc``, cross/broadcast terms
+    need only per-GROUP column sums and maxes of x2 — so this kernel
+    never runs the dominant [N, 256]x[256, 512] ``wl`` matmul or touches
+    per-point h at all. It emits the accumulated second moment
+    ``m2_ref [Cs, Cs]`` (one block revisited by every grid instance),
+    per-group column sums ``sg_ref`` and maxes ``gm_ref`` (f32); the tiny
+    quadratic-form epilogue happens in XLA (``_stats_pallas``).
+
+    x_ref: [1, gm_blk, 3]; sg/gm_ref: [1, g_blk, Cs]."""
     gm = x_ref.shape[1]
+    b = pl.program_id(0)
+    t = pl.program_id(1)
     x = x_ref[0].astype(dtype)
     x1 = jnp.maximum(
         lax.dot_general(
@@ -104,26 +114,21 @@ def _stats_kernel(
         x1, w2_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dtype) + b2_ref[0].astype(dtype)
-    g = jnp.max(x2.reshape(gm // m_size, m_size, -1), axis=1)
-    gh = lax.dot_general(
-        g, wg_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
+
+    m2_partial = lax.dot_general(
+        x2, x2, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dtype)
-    x2h = lax.dot_general(
-        x2, wl_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype).reshape(gm // m_size, m_size, -1)
-    h = (x2h + gh[:, None, :] + bs_ref[0].astype(dtype)).reshape(gm, -1)
-    hf = h.astype(jnp.float32)
-    hw = hf.shape[1]
-    out_ref[0, :, :] = jnp.concatenate(
-        [
-            jnp.sum(hf, axis=0).reshape(1, hw),
-            jnp.sum(hf * hf, axis=0).reshape(1, hw),
-            jnp.zeros((6, hw), jnp.float32),
-        ],
-        axis=0,
-    )
+    )  # [Cs, Cs]
+
+    @pl.when(jnp.logical_and(b == 0, t == 0))
+    def _init():
+        m2_ref[...] = jnp.zeros_like(m2_ref)
+
+    m2_ref[...] += m2_partial
+
+    x2g = x2.reshape(gm // m_size, m_size, -1)
+    sg_ref[0] = jnp.sum(x2g.astype(jnp.float32), axis=1)
+    gm_ref[0] = jnp.max(x2g, axis=1).astype(jnp.float32)
 
 
 def _forward_kernel(
@@ -187,16 +192,27 @@ def _stats_pallas(
     groups2, fw1, fb1, w2, b2, wg, wl, bsplit, *, m_size, dtype,
     interpret=False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """groups2: [B, G*M, 3] f32 -> (sum_h, sumsq_h) each [512] f32."""
+    """groups2: [B, G*M, 3] f32 -> (sum_h, sumsq_h) each [512] f32.
+
+    Kernel sweep collects (Σ x2x2ᵀ, per-group Σx2, per-group max x2);
+    the h-sums then come from closed forms — with a = x2@wl (per point)
+    and b_g = max_g@wg + bs (per group, broadcast over M points):
+
+      Σ h   = (Σ_g S_g)@wl + M·Σ_g b_g
+      Σ h²  = diag(wlᵀ M2 wl) + 2·Σ_g (S_g@wl)⊙b_g + M·Σ_g b_g²
+
+    which never materializes per-point h — the old sweep's dominant
+    [N,256]x[256,512] matmul and h²-reduction drop out (measured: the
+    stats pass was ~45% of train-mode MiniPointNet)."""
     B, GM, _ = groups2.shape
     G = GM // m_size
     gm_blk = _pick_gm_blk(G, m_size)
+    g_blk = gm_blk // m_size
     tiles = GM // gm_blk
-    hw = wl.shape[1]
-    fb1, b2, bsplit = (t.reshape(1, -1) for t in (fb1, b2, bsplit))
-    wshapes = [fw1.shape, fb1.shape, w2.shape, b2.shape, wg.shape,
-               wl.shape, bsplit.shape]
-    partials = pl.pallas_call(
+    cs = w2.shape[1]
+    fb1, b2 = (t.reshape(1, -1) for t in (fb1, b2))
+    wshapes = [fw1.shape, fb1.shape, w2.shape, b2.shape]
+    m2, sg, gmax = pl.pallas_call(
         functools.partial(_stats_kernel, m_size, dtype),
         grid=(B, tiles),
         in_specs=[
@@ -204,14 +220,39 @@ def _stats_pallas(
                          memory_space=pltpu.VMEM),
             *_wspecs(wshapes),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 8, hw), lambda b, t: (b * tiles + t, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B * tiles, 8, hw), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((cs, cs), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_blk, cs), lambda b, t: (b * tiles + t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_blk, cs), lambda b, t: (b * tiles + t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cs, cs), jnp.float32),
+            jax.ShapeDtypeStruct((B * tiles, g_blk, cs), jnp.float32),
+            jax.ShapeDtypeStruct((B * tiles, g_blk, cs), jnp.float32),
+        ],
         interpret=interpret,
-    )(groups2, fw1, fb1, w2, b2, wg, wl, bsplit)
-    return jnp.sum(partials[:, 0], axis=0), jnp.sum(partials[:, 1], axis=0)
+    )(groups2, fw1, fb1, w2, b2)
+
+    n_groups = B * G
+    sg = sg.reshape(n_groups, cs)
+    gmax = gmax.reshape(n_groups, cs)
+    wl32 = wl.astype(jnp.float32)
+    wg32 = wg.astype(jnp.float32)
+    m = jnp.float32(m_size)
+    b_g = gmax @ wg32 + bsplit.astype(jnp.float32)  # [BG, hw]
+    a_g = sg @ wl32  # [BG, hw] — Σ_{p∈g} a_p
+    t1 = m2 @ wl32  # [Cs, hw]
+    diag = jnp.sum(wl32 * t1, axis=0)  # Σ_p a_p² per channel
+    sum_h = jnp.sum(a_g, axis=0) + m * jnp.sum(b_g, axis=0)
+    sumsq_h = (
+        diag
+        + 2.0 * jnp.sum(a_g * b_g, axis=0)
+        + m * jnp.sum(b_g * b_g, axis=0)
+    )
+    return sum_h, sumsq_h
 
 
 @functools.partial(

@@ -268,7 +268,11 @@ class TestFusedMiniPointNet:
         got, gmut = mini.apply(
             variables, groups, True, mutable=["batch_stats"]
         )
-        tol = 3e-2 if dtype == jnp.bfloat16 else 5e-4
+        # bf16: the moment-matrix stats sweep (r4) computes Σh/Σh² by
+        # closed form from f32-accumulated x2 moments instead of summing
+        # bf16-rounded h — var2 shifts at bf16 eps, which can move a
+        # near-zero output element by ~4e-2 absolute
+        tol = 5e-2 if dtype == jnp.bfloat16 else 5e-4
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=tol, atol=tol,
