@@ -64,25 +64,23 @@ def _gelu_tanh(x32):
 
 
 def _block_body(
-    l_valid: int, heads: int, d: int, dtype, b: int,
-    x0,
-    dp_ref,
-    ln1s_ref, ln1b_ref, wqkv_ref,
-    wproj_ref, bproj_ref,
-    ln2s_ref, ln2b_ref,
-    wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    l_valid: int, heads: int, d: int, dtype,
+    x0, dp1, dp2,
+    ln1s, ln1b, wqkv, wproj, bproj,
+    ln2s, ln2b, wfc1, bfc1, wfc2, bfc2,
 ):
     """The whole-block math on a VMEM-resident ``x0 = x + pos`` [Lp, C];
-    returns x2 (the block output) in the compute dtype."""
+    weights/LN params are VALUES (already read from refs — single-block
+    kernels read whole refs, the 12-block tower reads block-i slices of
+    stacked refs); ``dp1``/``dp2`` droppath branch scales (scalars).
+    Returns x2 (the block output) in the compute dtype."""
     c = heads * d
     scale = 1.0 / math.sqrt(d)
 
     # --- attention sublayer -------------------------------------------
-    xn = _ln_f32(
-        x0.astype(jnp.float32), ln1s_ref[0], ln1b_ref[0]
-    ).astype(dtype)
+    xn = _ln_f32(x0.astype(jnp.float32), ln1s, ln1b).astype(dtype)
     qkv = lax.dot_general(
-        xn, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        xn, wqkv, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dtype)  # [Lp, 3C]
     outs = []
@@ -108,25 +106,23 @@ def _block_body(
         outs.append((acc / denom).astype(dtype))  # [Lp, D]
     attn = jnp.concatenate(outs, axis=1)  # [Lp, C]
     y = lax.dot_general(
-        attn, wproj_ref[...], (((1,), (0,)), ((), ())),
+        attn, wproj, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dtype) + bproj_ref[0].astype(dtype)
-    x1 = x0 + y * dp_ref[b, 0].astype(dtype)
+    ).astype(dtype) + bproj.astype(dtype)
+    x1 = x0 + y * dp1.astype(dtype)
 
     # --- MLP sublayer --------------------------------------------------
-    xn2 = _ln_f32(
-        x1.astype(jnp.float32), ln2s_ref[0], ln2b_ref[0]
-    ).astype(dtype)
+    xn2 = _ln_f32(x1.astype(jnp.float32), ln2s, ln2b).astype(dtype)
     h1 = lax.dot_general(
-        xn2, wfc1_ref[...], (((1,), (0,)), ((), ())),
+        xn2, wfc1, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bfc1_ref[0]  # f32 [Lp, 4C]
+    ) + bfc1  # f32 [Lp, 4C]
     h1 = _gelu_tanh(h1).astype(dtype)
     y2 = lax.dot_general(
-        h1, wfc2_ref[...], (((1,), (0,)), ((), ())),
+        h1, wfc2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dtype) + bfc2_ref[0].astype(dtype)
-    return x1 + y2 * dp_ref[b, 1].astype(dtype)
+    ).astype(dtype) + bfc2.astype(dtype)
+    return x1 + y2 * dp2.astype(dtype)
 
 
 def _block_kernel(
@@ -141,11 +137,24 @@ def _block_kernel(
     b = pl.program_id(0)  # dp lives whole in SMEM; index the batch row
     # x0 = x + pos in compute dtype (matches the XLA path's bf16 add)
     o_ref[0] = _block_body(
-        l_valid, heads, d, dtype, b,
-        x_ref[0] + pos_ref[0],
-        dp_ref, ln1s_ref, ln1b_ref, wqkv_ref, wproj_ref, bproj_ref,
-        ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+        l_valid, heads, d, dtype,
+        x_ref[0] + pos_ref[0], dp_ref[b, 0], dp_ref[b, 1],
+        ln1s_ref[0], ln1b_ref[0], wqkv_ref[...], wproj_ref[...],
+        bproj_ref[0], ln2s_ref[0], ln2b_ref[0],
+        wfc1_ref[...], bfc1_ref[0], wfc2_ref[...], bfc2_ref[0],
     )
+
+
+def _readout_rows(l_valid, x2, lnfs, lnfb):
+    """Final f32 LayerNorm + cls/max readout -> [8, C] f32 (row 0 =
+    normalized cls token, row 1 = lanewise max over the normalized point
+    tokens, rows 2..7 zero — 8 sublanes for Mosaic alignment)."""
+    xn = _ln_f32(x2.astype(jnp.float32), lnfs, lnfb)
+    row = lax.broadcasted_iota(jnp.int32, xn.shape, 0)
+    tok = jnp.where((row >= 1) & (row < l_valid), xn, -jnp.inf)
+    mx = jnp.max(tok, axis=0, keepdims=True)  # [1, C]
+    pad = jnp.zeros((6, xn.shape[1]), jnp.float32)
+    return jnp.concatenate([xn[0:1], mx, pad], axis=0)  # [8, C]
 
 
 def _block_readout_kernel(
@@ -158,25 +167,48 @@ def _block_readout_kernel(
     lnfs_ref, lnfb_ref,
     o_ref,
 ):
-    """The last block + the cls readout fused: final f32 LayerNorm over
-    the block output, then row 0 = normalized cls token, row 1 = lanewise
-    max over the normalized point tokens (rows 1..l_valid). Output block
-    [1, 8, C] f32 (8 sublanes for Mosaic alignment; rows 2..7 unused).
-    The [B, L, C] token tensor and the separate f32 LN + max-pool pass
-    never touch HBM (~38 MB/step saved at the flagship shape)."""
+    """The last block + the cls readout fused: the [B, L, C] token
+    tensor and the separate f32 LN + max-pool pass never touch HBM
+    (~38 MB/step saved at the flagship shape)."""
     b = pl.program_id(0)
     x2 = _block_body(
-        l_valid, heads, d, dtype, b,
-        x_ref[0] + pos_ref[0],
-        dp_ref, ln1s_ref, ln1b_ref, wqkv_ref, wproj_ref, bproj_ref,
-        ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+        l_valid, heads, d, dtype,
+        x_ref[0] + pos_ref[0], dp_ref[b, 0], dp_ref[b, 1],
+        ln1s_ref[0], ln1b_ref[0], wqkv_ref[...], wproj_ref[...],
+        bproj_ref[0], ln2s_ref[0], ln2b_ref[0],
+        wfc1_ref[...], bfc1_ref[0], wfc2_ref[...], bfc2_ref[0],
     )
-    xn = _ln_f32(x2.astype(jnp.float32), lnfs_ref[0], lnfb_ref[0])
-    row = lax.broadcasted_iota(jnp.int32, xn.shape, 0)
-    tok = jnp.where((row >= 1) & (row < l_valid), xn, -jnp.inf)
-    mx = jnp.max(tok, axis=0, keepdims=True)  # [1, C]
-    pad = jnp.zeros((6, xn.shape[1]), jnp.float32)
-    o_ref[0] = jnp.concatenate([xn[0:1], mx, pad], axis=0)  # [8, C]
+    o_ref[0] = _readout_rows(l_valid, x2, lnfs_ref[0], lnfb_ref[0])
+
+
+def _vit_tower_kernel(
+    l_valid: int, heads: int, d: int, dtype, depth: int,
+    x_ref, pos_ref, dp_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref,
+    wproj_ref, bproj_ref,
+    ln2s_ref, ln2b_ref,
+    wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    lnfs_ref, lnfb_ref,
+    o_ref,
+):
+    """ALL ``depth`` blocks + the cls readout per grid instance: x stays
+    in VMEM across every block (the 11 inter-block HBM round trips of
+    the per-block formulation — ~280 MB/step at the flagship shape —
+    disappear) and the stacked weights (~43 MB bf16) are VMEM-resident
+    across the whole batch. Per-block pos re-add preserved (the
+    PointBERT quirk). dp_ref: [B, depth, 2] SMEM droppath scales."""
+    b = pl.program_id(0)
+    x = x_ref[0]
+    pos = pos_ref[0]
+    for i in range(depth):
+        x = _block_body(
+            l_valid, heads, d, dtype,
+            x + pos, dp_ref[b, i, 0], dp_ref[b, i, 1],
+            ln1s_ref[i], ln1b_ref[i], wqkv_ref[i], wproj_ref[i],
+            bproj_ref[i], ln2s_ref[i], ln2b_ref[i],
+            wfc1_ref[i], bfc1_ref[i], wfc2_ref[i], bfc2_ref[i],
+        )
+    o_ref[0] = _readout_rows(l_valid, x, lnfs_ref[0], lnfb_ref[0])
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
@@ -369,6 +401,107 @@ def _fvb_bwd(heads, res, g):
 
 
 fused_vit_block.defvjp(_fvb_fwd, _fvb_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _vit_tower_pallas(
+    x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+    wfc1, bfc1, wfc2, bfc2, lnfs, lnfb, *,
+    heads: int, interpret: bool = False
+):
+    """x/pos [B, L, C]; dp [B, depth, 2] f32; stacked weights lead with
+    the depth axis. Returns the readout rows [B, 8, C] f32."""
+    B, L, C = x.shape
+    d = C // heads
+    Lp = _round_up(L, 16)
+    depth = wqkv.shape[0]
+    hid = wfc1.shape[2]
+
+    def rowspec(n_lanes):
+        return pl.BlockSpec(
+            (1, Lp, n_lanes), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def wstack(t):
+        return pl.BlockSpec(
+            t.shape, lambda b: (0,) * t.ndim, memory_space=pltpu.VMEM
+        )
+
+    args = (ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b, wfc1, bfc1,
+            wfc2, bfc2)
+    return pl.pallas_call(
+        functools.partial(_vit_tower_kernel, L, heads, d, x.dtype, depth),
+        grid=(B,),
+        in_specs=[
+            rowspec(C), rowspec(C),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            *(wstack(t) for t in args),
+            wspec_row(C), wspec_row(C),  # final LN scale/bias
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 8, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x, pos, dp, *args, lnfs[None], lnfb[None])
+
+
+def wspec_row(c_):
+    return pl.BlockSpec((1, c_), lambda b: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _vit_tower_twin(
+    x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+    wfc1, bfc1, wfc2, bfc2, lnfs, lnfb, *, heads: int
+):
+    """XLA twin: depth x _block_twin + f32 LN readout, [B, 8, C] f32."""
+    depth = wqkv.shape[0]
+    for i in range(depth):
+        x = _block_twin(
+            x, pos, dp[:, i], ln1s[i], ln1b[i], wqkv[i], wproj[i],
+            bproj[i], ln2s[i], ln2b[i], wfc1[i], bfc1[i], wfc2[i],
+            bfc2[i], heads=heads,
+        )
+    xn = _ln_f32(x.astype(jnp.float32), lnfs, lnfb)
+    B, _, C = xn.shape
+    out = jnp.zeros((B, 8, C), jnp.float32)
+    out = out.at[:, 0].set(xn[:, 0])
+    return out.at[:, 1].set(jnp.max(xn[:, 1:], axis=1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16,))
+def fused_vit_tower(
+    x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+    wfc1, bfc1, wfc2, bfc2, lnfs, lnfb, heads
+):
+    """Whole ViT trunk + cls readout in ONE Pallas call (Pallas forward,
+    XLA recompute VJP — exact weight grads for partial-tuning head
+    types; dead code for the frozen flagship tower)."""
+    from ppt_tpu.kernels.attention import _is_tpu
+
+    return _vit_tower_pallas(
+        x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+        wfc1, bfc1, wfc2, bfc2, lnfs, lnfb,
+        heads=heads, interpret=not _is_tpu(),
+    )
+
+
+def _fvt_fwd(x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+             wfc1, bfc1, wfc2, bfc2, lnfs, lnfb, heads):
+    args = (x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
+            wfc1, bfc1, wfc2, bfc2, lnfs, lnfb)
+    return fused_vit_tower(*args, heads), args
+
+
+def _fvt_bwd(heads, res, g):
+    _, vjp = jax.vjp(lambda *a: _vit_tower_twin(*a, heads=heads), *res)
+    return vjp(g)
+
+
+fused_vit_tower.defvjp(_fvt_fwd, _fvt_bwd)
 
 
 def _readout_twin(

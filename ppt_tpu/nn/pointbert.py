@@ -430,6 +430,66 @@ class PointBert(nn.Module):
             if self.is_initializing()
             else self.variables["params"].get("norm")
         )
+
+        # Whole-TRUNK megakernel (kernels/vitblock.fused_vit_tower): all
+        # depth blocks + readout in one Pallas call — x stays in VMEM
+        # across blocks, weights resident. On-chip exact, but a
+        # same-session A/B measured it ~1.5% SLOWER than the per-block
+        # fused pipeline (1,824 vs 1,851 clouds/sec — the per-block
+        # grid already overlaps the inter-block HBM traffic with
+        # compute; docs/PROFILE_r04.md Finding 5). DEFAULT OFF;
+        # PPT_FUSED_VIT_TOWER=1 re-enables for re-measurement.
+        import os
+
+        from ppt_tpu.kernels.attention import FLASH_MIN_SEQ, _is_tpu
+
+        use_tower = (
+            norm_p is not None
+            and x.shape[1] < FLASH_MIN_SEQ
+            and not os.environ.get("PPT_FORCE_XLA_ATTN")
+            and os.environ.get("PPT_FUSED_BLOCK", "1" if _is_tpu() else "0")
+            == "1"
+            and os.environ.get("PPT_FUSED_VIT_TOWER", "0") == "1"
+        )
+        if use_tower:
+            from ppt_tpu.kernels.vitblock import fused_vit_tower
+
+            p = self.variables["params"]
+            dt = self.dtype
+            if not train or cfg.drop_path_rate == 0.0:
+                dp = jnp.ones((B, cfg.depth, 2), jnp.float32)
+            else:
+                keeps = 1.0 - jnp.asarray(rates, jnp.float32)  # [depth]
+                masks = jax.random.bernoulli(
+                    self.make_rng("droppath"),
+                    keeps[None, :, None],
+                    (B, cfg.depth, 2),
+                ).astype(jnp.float32)
+                dp = masks / jnp.maximum(keeps[None, :, None], 1e-6)
+
+            def stk(*path, cast=None):
+                arrs = [p[f"block_{i}"] for i in range(cfg.depth)]
+                for key in path:
+                    arrs = [a[key] for a in arrs]
+                out = jnp.stack(arrs)
+                return out if cast is None else out.astype(cast)
+
+            ro = fused_vit_tower(
+                x, pos.astype(x.dtype), dp,
+                stk("norm1", "scale"), stk("norm1", "bias"),
+                stk("attn", "qkv", "kernel", cast=dt),
+                stk("attn", "proj", "kernel", cast=dt),
+                stk("attn", "proj", "bias"),
+                stk("norm2", "scale"), stk("norm2", "bias"),
+                stk("mlp", "fc1", "kernel", cast=dt),
+                stk("mlp", "fc1", "bias"),
+                stk("mlp", "fc2", "kernel", cast=dt),
+                stk("mlp", "fc2", "bias"),
+                norm_p["scale"], norm_p["bias"],
+                cfg.num_heads,
+            )  # [B, 8, C] f32
+            return jnp.concatenate([ro[:, 0], ro[:, 1]], axis=-1)
+
         for i in range(cfg.depth):
             is_last = i == cfg.depth - 1
             x = VitBlock(

@@ -294,6 +294,37 @@ def main() -> int:
     check("vit_block[32,513,384]", finite and err < 3e-2,
           f"max rel err {err:.2e} vs XLA twin, finite={finite}")
 
+    # --- whole-trunk megakernel (all blocks + readout, one call) ---
+    from ppt_tpu.kernels.vitblock import _vit_tower_pallas, _vit_tower_twin
+
+    depth_t = 12
+    stk = lambda *s: (  # noqa: E731
+        jnp.asarray(rng.randn(depth_t, *s).astype(np.float32)) * 0.05
+    )
+    targs = (
+        xb, posb, jnp.ones((32, depth_t, 2), jnp.float32),
+        jnp.ones((depth_t, C), jnp.float32),
+        jnp.zeros((depth_t, C), jnp.float32),
+        stk(C, 3 * C).astype(jnp.bfloat16),
+        stk(C, C).astype(jnp.bfloat16), stk(C),
+        jnp.ones((depth_t, C), jnp.float32),
+        jnp.zeros((depth_t, C), jnp.float32),
+        stk(C, 4 * C).astype(jnp.bfloat16), stk(4 * C),
+        stk(4 * C, C).astype(jnp.bfloat16), stk(C),
+        ones, zeros,
+    )
+    got_t2 = np.asarray(
+        jax.jit(lambda *a: _vit_tower_pallas(*a, heads=H))(*targs)
+    )
+    want_t2 = np.asarray(
+        jax.jit(lambda *a: _vit_tower_twin(*a, heads=H))(*targs)
+    )
+    scale_t = float(np.max(np.abs(want_t2))) or 1.0
+    err = float(np.max(np.abs(got_t2 - want_t2))) / scale_t
+    finite = bool(np.all(np.isfinite(got_t2)))
+    check("vit_tower[32,513,384,12L]", finite and err < 3e-2,
+          f"max rel err {err:.2e} vs XLA twin, finite={finite}")
+
     # --- fused MiniPointNet vs the unfused XLA path (production wiring) ---
     import os
 

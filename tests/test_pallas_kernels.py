@@ -566,13 +566,20 @@ class TestFusedVitBlock:
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
         assert np.all(got[:, 2:] == 0.0)
 
-    def test_full_pointbert_fused_readout_vs_plain(self, rng, monkeypatch):
-        """The fused-readout trunk tail (last block emits the [B, 2C]
-        feature directly) must match the plain LN + cls/max readout
-        end-to-end, forward AND gradient-to-input."""
+    @pytest.mark.parametrize("path", ["readout", "tower"])
+    def test_full_pointbert_fused_readout_vs_plain(
+        self, rng, monkeypatch, path
+    ):
+        """Both fused trunk tails — per-block loop with the readout
+        fused into the last block ('readout'), and the whole-trunk
+        megakernel ('tower') — must match the plain LN + cls/max
+        readout end-to-end, forward AND gradient-to-input."""
         import jax
 
         from ppt_tpu.nn.pointbert import PointBert, PointBertConfig
+
+        if path == "tower":  # megakernel is default-OFF (PROFILE_r04)
+            monkeypatch.setenv("PPT_FUSED_VIT_TOWER", "1")
 
         cfg = PointBertConfig(
             trans_dim=128, depth=2, num_heads=4, group_size=8,
@@ -605,6 +612,34 @@ class TestFusedVitBlock:
         g_got = np.asarray(jax.grad(loss)(pts))
         gscale = np.max(np.abs(g_want)) or 1.0
         assert np.max(np.abs(g_got - g_want)) / gscale < 1e-3
+
+    def test_vit_tower_kernel_matches_twin_f32(self, rng):
+        """The whole-trunk megakernel vs its XLA twin at f32."""
+        from ppt_tpu.kernels.vitblock import (
+            _vit_tower_pallas,
+            _vit_tower_twin,
+        )
+
+        C, H, depth = 128, 4, 3
+        f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32)) * 0.05
+        x, pos = f(2, 69, C), f(2, 69, C)
+        dp = jnp.ones((2, depth, 2), jnp.float32).at[1, 1, 0].set(0.0)
+        args = (
+            x, pos, dp,
+            jnp.ones((depth, C), jnp.float32),
+            jnp.zeros((depth, C), jnp.float32),
+            f(depth, C, 3 * C), f(depth, C, C), f(depth, C),
+            jnp.ones((depth, C), jnp.float32),
+            jnp.zeros((depth, C), jnp.float32),
+            f(depth, C, 4 * C), f(depth, 4 * C), f(depth, 4 * C, C),
+            f(depth, C),
+            1.0 + 0.1 * f(C), 0.1 * f(C),
+        )
+        got = np.asarray(_vit_tower_pallas(*args, heads=H, interpret=True))
+        want = np.asarray(_vit_tower_twin(*args, heads=H))
+        assert got.shape == (2, 8, C)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        assert np.all(got[:, 2:] == 0.0)
 
 
 class TestFusedTextBlock:
@@ -723,3 +758,30 @@ class TestFusedTextBlock:
         assert got.shape == (4, 77, D)
         scale = np.max(np.abs(want)) or 1.0
         assert np.max(np.abs(got - want)) / scale < 3e-2
+
+
+class TestVitTowerTrainMode:
+    def test_tower_droppath_train(self, rng, monkeypatch):
+        """The megakernel's per-block droppath scales (bernoulli per
+        block per branch) produce finite outputs that differ from eval."""
+        import jax
+
+        from ppt_tpu.nn.pointbert import PointBert, PointBertConfig
+
+        monkeypatch.setenv("PPT_FUSED_BLOCK", "1")
+        monkeypatch.setenv("PPT_FUSED_VIT_TOWER", "1")
+        cfg = PointBertConfig(
+            trans_dim=128, depth=2, num_heads=4, group_size=8,
+            num_group=16, encoder_dims=32, drop_path_rate=0.5,
+        )
+        model = PointBert(config=cfg, dtype=jnp.float32)
+        pts = jnp.asarray(rng.randn(4, 64, 3).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), pts)
+        out, _ = model.apply(
+            variables, pts, True,
+            rngs={"droppath": jax.random.PRNGKey(7)},
+            mutable=["batch_stats"],
+        )
+        assert np.all(np.isfinite(np.asarray(out)))
+        out_eval = model.apply(variables, pts)
+        assert not np.allclose(np.asarray(out), np.asarray(out_eval))
