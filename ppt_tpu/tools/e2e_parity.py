@@ -396,6 +396,9 @@ def _report(name, got, want, worst):
         "quantity": name,
         "max_abs": float(a.max()),
         "max_rel": float(rel.max()),
+        # the pass/fail scale: logits carry exp(logit_scale) ~ 14x, so
+        # an absolute threshold must be relative to the quantity's range
+        "ref_scale": float(np.abs(want).max()) or 1.0,
     }
     worst[name] = max(worst.get(name, 0.0), row["max_abs"])
     return row
@@ -477,7 +480,7 @@ def run(flags) -> int:
         loss_diff = abs(j_loss - t_loss)
         worst["loss"] = max(worst.get("loss", 0.0), loss_diff)
         for r in rows:
-            ok = r["max_abs"] <= flags.atol + flags.rtol * 1.0
+            ok = r["max_abs"] <= flags.atol + flags.rtol * r["ref_scale"]
             failures += not ok
             print(
                 f"  step {k} {r['quantity']:>10}: max_abs {r['max_abs']:.3e} "
@@ -596,7 +599,11 @@ def main(argv=None) -> int:
     ap.add_argument("--atol", type=float, default=5e-3)
     ap.add_argument("--rtol", type=float, default=2e-3)
     ap.add_argument("--tpu", action="store_true",
-                    help="run OUR side on TPU (bf16 kernel-path drift)")
+                    help="run OUR side on TPU — exercises the full bf16 "
+                         "fused-kernel stack vs torch f32; pass wider "
+                         "tolerances, e.g. --atol 2e-2 --rtol 2e-2 "
+                         "(measured drift: pc_embed ~1e-2 abs, loss "
+                         "~2e-2 abs at tiny dims)")
     flags = ap.parse_args(argv)
 
     if not flags.tpu:
