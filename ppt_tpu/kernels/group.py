@@ -34,6 +34,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _choose_s_blk(S: int, n_pad: int) -> int:
+    """Widest query-tile width that divides S and fits the VMEM cap.
+
+    The dist scratch plus its compute intermediates cost ~4 f32 buffers
+    of [s_blk, n_pad] per instance, so the cap bounds s_blk * n_pad
+    (measured 29.75 MB at s_blk=256, N=8192 — over the ~17 MB scoped
+    limit; 12 MiB leaves headroom for the gather outputs)."""
+    s_blk = next(
+        (c for c in (256, 128, 64, 32, 16, 8)
+         if S % c == 0 and c * n_pad * 16 <= 12 * 1024 * 1024),
+        None,
+    )
+    if s_blk is None:
+        if S % 8:
+            raise ValueError(f"S={S} must be a multiple of 8")
+        raise ValueError(
+            f"N~{n_pad} too large for the VMEM-capped query tiles: even "
+            f"s_blk=8 needs {8 * n_pad * 16 / 2**20:.1f} MiB (> 12 MiB "
+            "cap) — use the XLA fallback path for this shape"
+        )
+    return s_blk
+
+
 def _bf16x3_parts(x: jax.Array) -> jax.Array:
     """Exact 3-way bf16 decomposition along the last axis.
 
@@ -237,20 +260,11 @@ def knn_gather(
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     # 256-wide query tiles measured fastest on v5e (4.2 vs 4.8 ms at the
-    # PPT-Base shapes); fall back to 128/8 for smaller S. The VMEM cap
-    # additionally bounds s_blk*n_pad: the dist scratch plus its compute
-    # intermediates cost ~4 f32 buffers of [s_blk, n_pad] per instance
-    # (measured 29.75 MB at s_blk=256, N=8192 — over the 17 MB scoped
-    # limit), so large-N inputs take narrower query tiles instead of
-    # OOMing (reference-native npoints is 8192).
+    # PPT-Base shapes); fall back to 128/8 for smaller S, and to narrower
+    # tiles at large N so the dist scratch fits VMEM instead of OOMing
+    # (reference-native npoints is 8192) — see _choose_s_blk.
     n_pad = _round_up(N, 128)
-    s_blk = next(
-        (c for c in (256, 128, 64, 32, 16, 8)
-         if S % c == 0 and c * n_pad * 16 <= 12 * 1024 * 1024),
-        None,
-    )
-    if s_blk is None:
-        raise ValueError(f"S={S} must be a multiple of 8 (N={N})")
+    s_blk = _choose_s_blk(S, n_pad)
 
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
     if n_pad != N:
@@ -582,13 +596,7 @@ def ball_query_gather(
     # bounds s_blk*n_pad so large-N inputs narrow the tile instead of
     # OOMing the ~17 MB scoped limit (see knn_gather).
     n_pad = _round_up(N, 128)
-    s_blk = next(
-        (c for c in (256, 128, 64, 32, 16, 8)
-         if S % c == 0 and c * n_pad * 16 <= 12 * 1024 * 1024),
-        None,
-    )
-    if s_blk is None:
-        raise ValueError(f"S={S} must be a multiple of 8 (N={N})")
+    s_blk = _choose_s_blk(S, n_pad)
 
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
     if n_pad != N:
@@ -649,13 +657,7 @@ def ball_query_gather_feats(
     # bounds s_blk*n_pad so large-N inputs narrow the tile instead of
     # OOMing the ~17 MB scoped limit (see knn_gather).
     n_pad = _round_up(N, 128)
-    s_blk = next(
-        (c for c in (256, 128, 64, 32, 16, 8)
-         if S % c == 0 and c * n_pad * 16 <= 12 * 1024 * 1024),
-        None,
-    )
-    if s_blk is None:
-        raise ValueError(f"S={S} must be a multiple of 8 (N={N})")
+    s_blk = _choose_s_blk(S, n_pad)
 
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
     if n_pad != N:

@@ -26,6 +26,7 @@ partial-tuning head types).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -171,6 +172,12 @@ def _forward_kernel(
 
 
 def _pick_gm_blk(n_groups: int, m_size: int) -> int:
+    # PPT_MINI_GBLK overrides the tile width for on-chip A/B probes
+    # (wider tiles amortize per-instance pipeline fill but grow the
+    # VMEM-resident stage intermediates ~linearly).
+    env = os.environ.get("PPT_MINI_GBLK")
+    if env and n_groups % int(env) == 0:
+        return int(env) * m_size
     for g_blk in (64, 32, 16, 8):
         if n_groups % g_blk == 0:
             return g_blk * m_size

@@ -71,13 +71,21 @@ def _tower_kernel(
     ln1s_ref, ln1b_ref, win_ref, bin_ref, wout_ref, bout_ref,
     ln2s_ref, ln2b_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref,
     lnfs_ref, lnfb_ref, tproj_ref,
-    o_ref,
+    o_ref, xs_ref=None,
 ):
     """One chunk of 8 classes through the whole tower.
 
     x_ref [8, Lp, D]; mask_ref [8Lp, 8Lp] f32 additive; eot_ref
     [1, 8, 8Lp] f32 one-hot pooling rows; stacked per-block weights
-    lead with the depth axis; o_ref [1, 8, E] f32."""
+    lead with the depth axis; o_ref [1, 8, E] f32.
+
+    With the optional second output ref (the residual-capture variant
+    behind ``_tower_pallas_res``) each block's OUTPUT activations are
+    also written (``xs_ref [1, depth, Rc, D]``) so the hand-written
+    backward kernel can recompute per-block internals without replaying
+    the whole tower in XLA. ONE loop body serves both variants so their
+    bf16 numerics cannot drift (softmax normalizes in f32 THEN casts,
+    matching the XLA twin and the backward's recompute)."""
     _, lp, dch = x_ref.shape
     rc = CHUNK * lp
     d = dch // heads
@@ -103,12 +111,12 @@ def _tower_kernel(
             ) * scale + mask_ref[...]  # [Rc, Rc] f32
             m = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp(s - m)
-            denom = jnp.sum(p, axis=1, keepdims=True)
+            pn = p / jnp.sum(p, axis=1, keepdims=True)
             acc = lax.dot_general(
-                p.astype(dtype), v, (((1,), (0,)), ((), ())),
+                pn.astype(dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            outs.append((acc / denom).astype(dtype))
+            outs.append(acc.astype(dtype))
         attn = jnp.concatenate(outs, axis=1)  # [Rc, D]
         a = lax.dot_general(
             attn, wout_ref[i], (((1,), (0,)), ((), ())),
@@ -129,6 +137,8 @@ def _tower_kernel(
             preferred_element_type=jnp.float32,
         ).astype(dtype) + bproj_ref[i : i + 1].astype(dtype)
         x = x + mo
+        if xs_ref is not None:
+            xs_ref[0, i] = x
 
     # epilogue: EOT pooling (one-hot matmul), fp32 ln_final, projection.
     # LayerNorm is row-local, so pool-then-LN == LN-then-pool (saves
@@ -137,83 +147,6 @@ def _tower_kernel(
         eot_ref[0], x.astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [8, D] f32
-    xn = _ln_f32(pooled, lnfs_ref[...], lnfb_ref[...])
-    o_ref[0] = lax.dot_general(
-        xn, tproj_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-def _tower_res_kernel(
-    heads: int, depth: int, dtype,
-    x_ref, mask_ref, eot_ref,
-    ln1s_ref, ln1b_ref, win_ref, bin_ref, wout_ref, bout_ref,
-    ln2s_ref, ln2b_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref,
-    lnfs_ref, lnfb_ref, tproj_ref,
-    o_ref, xs_ref,
-):
-    """Forward + residual capture: identical math to ``_tower_kernel``
-    but additionally writes each block's OUTPUT activations
-    (``xs_ref [1, depth, Rc, D]``) so the hand-written backward kernel
-    can recompute per-block internals without replaying the whole tower
-    in XLA. Duplicated loop body kept in sync with ``_tower_kernel`` —
-    the f32-exactness test pins both against the twin."""
-    _, lp, dch = x_ref.shape
-    rc = CHUNK * lp
-    d = dch // heads
-    scale = 1.0 / math.sqrt(d)
-    x = x_ref[...].reshape(rc, dch)
-
-    for i in range(depth):
-        y1 = _ln_f32(
-            x.astype(jnp.float32), ln1s_ref[i : i + 1], ln1b_ref[i : i + 1]
-        ).astype(dtype)
-        qkv = lax.dot_general(
-            y1, win_ref[i], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype) + bin_ref[i : i + 1].astype(dtype)
-        outs = []
-        for h in range(heads):
-            q = qkv[:, h * d : (h + 1) * d]
-            k = qkv[:, dch + h * d : dch + (h + 1) * d]
-            v = qkv[:, 2 * dch + h * d : 2 * dch + (h + 1) * d]
-            s = lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale + mask_ref[...]
-            m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
-            denom = jnp.sum(p, axis=1, keepdims=True)
-            acc = lax.dot_general(
-                p.astype(dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            outs.append((acc / denom).astype(dtype))
-        attn = jnp.concatenate(outs, axis=1)
-        a = lax.dot_general(
-            attn, wout_ref[i], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype) + bout_ref[i : i + 1].astype(dtype)
-        x = x + a
-        y2 = _ln_f32(
-            x.astype(jnp.float32), ln2s_ref[i : i + 1], ln2b_ref[i : i + 1]
-        ).astype(dtype)
-        h1 = lax.dot_general(
-            y2, wfc_ref[i], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bfc_ref[i : i + 1]
-        h1 = _quick_gelu_f32(h1).astype(dtype)
-        mo = lax.dot_general(
-            h1, wproj_ref[i], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype) + bproj_ref[i : i + 1].astype(dtype)
-        x = x + mo
-        xs_ref[0, i] = x
-
-    pooled = lax.dot_general(
-        eot_ref[0], x.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
     xn = _ln_f32(pooled, lnfs_ref[...], lnfb_ref[...])
     o_ref[0] = lax.dot_general(
         xn, tproj_ref[...], (((1,), (0,)), ((), ())),
@@ -470,7 +403,7 @@ def _tower_pallas_res(
                             memory_space=pltpu.VMEM)
 
     out, xs = pl.pallas_call(
-        functools.partial(_tower_res_kernel, heads, depth, x0.dtype),
+        functools.partial(_tower_kernel, heads, depth, x0.dtype),
         grid=(cp // CHUNK,),
         in_specs=[
             pl.BlockSpec((CHUNK, lp, dch), lambda c: (c, 0, 0),
@@ -679,9 +612,9 @@ def _ftt_fwd(x0, eot_onehot, ln1s, ln1b, win, bin_, wout, bout, ln2s,
     weights = (ln1s, ln1b, win, bin_, wout, bout, ln2s, ln2b, wfc, bfc,
                wproj, bproj, lnfs, lnfb, tproj)
     if os.environ.get("PPT_TEXT_TOWER_BWD", "fused") == "xla":
-        # A/B hatch: plain forward + twin-recompute VJP (also the path
-        # that would produce WEIGHT gradients, if the tower were ever
-        # unfrozen — no product task does, see models/ulip.trainable_mask)
+        # A/B hatch: plain forward + twin-recompute VJP for EVERY
+        # cotangent (the fused branch below hand-writes d_x0 and takes
+        # only the weight cotangents from the twin)
         return (
             fused_text_tower(x0, eot_onehot, *weights, heads),
             (None, x0, eot_onehot, weights),
@@ -696,13 +629,13 @@ def _ftt_fwd(x0, eot_onehot, ln1s, ln1b, win, bin_, wout, bout, ln2s,
 
 def _ftt_bwd(heads, res, g):
     xs, x0, eot_onehot, weights = res
-    zero_w = tuple(jnp.zeros_like(w) for w in weights)
+
+    L = x0.shape[1]
+    neg = np.float32(-np.inf)
+    causal = np.zeros((L, L), np.float32)
+    causal[np.triu_indices(L, k=1)] = neg
 
     if xs is None:  # PPT_TEXT_TOWER_BWD=xla
-        L = x0.shape[1]
-        neg = np.float32(-np.inf)
-        causal = np.zeros((L, L), np.float32)
-        causal[np.triu_indices(L, k=1)] = neg
 
         def f(x0_, eot_, *ws):
             return _tower_twin(
@@ -712,7 +645,7 @@ def _ftt_bwd(heads, res, g):
         _, vjp = jax.vjp(f, x0, eot_onehot, *weights)
         return vjp(g)
 
-    xp, mask8, eot_chunks, C, L = _pad_and_chunk(x0, eot_onehot)
+    xp, mask8, eot_chunks, C, _ = _pad_and_chunk(x0, eot_onehot)
     gp = g.astype(jnp.float32)
     if xp.shape[0] != C:
         gp = jnp.pad(gp, ((0, xp.shape[0] - C), (0, 0)))
@@ -720,11 +653,23 @@ def _ftt_bwd(heads, res, g):
         gp, xp, xs, mask8, eot_chunks, *weights,
         heads=heads, interpret=not _is_tpu(),
     )[:C, :L]
-    # the tower is frozen in every product task (trainable_mask) — the
-    # only consumed cotangent is d_x0 (through the prompt splice). The
+    # The hand-written kernel emits only d_x0 (the prompt-splice
+    # cotangent). WEIGHT cotangents come from the XLA twin's vjp: every
+    # product task freezes the tower (models/ulip.trainable_mask), so
+    # these outputs are unused and XLA dead-code-eliminates the whole
+    # twin — zero steady-state cost — while a hypothetical
+    # unfrozen-tower config gets TRUE weight grads instead of silent
+    # zeros (the two A/B paths must agree in gradient semantics). The
     # eot one-hot is argmax-derived (non-differentiable, like the XLA
     # path's take_along_axis index).
-    return (dx, jnp.zeros_like(eot_onehot)) + zero_w
+    def fw(*ws):
+        return _tower_twin(
+            x0, jnp.asarray(causal), eot_onehot, *ws, heads=heads
+        )
+
+    _, wvjp = jax.vjp(fw, *weights)
+    d_ws = wvjp(g.astype(jnp.float32))
+    return (dx, jnp.zeros_like(eot_onehot)) + tuple(d_ws)
 
 
 fused_text_tower.defvjp(_ftt_fwd, _ftt_bwd)

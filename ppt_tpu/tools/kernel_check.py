@@ -294,6 +294,26 @@ def main() -> int:
     check("vit_block[32,513,384]", finite and err < 3e-2,
           f"max rel err {err:.2e} vs XLA twin, finite={finite}")
 
+    # --- last block + fused cls readout (default-ON since round 4) ---
+    from ppt_tpu.kernels.vitblock import _block_readout_pallas, _readout_twin
+
+    rargs = bargs + (ones, zeros)  # + (lnfs, lnfb)
+    got_r = np.asarray(
+        jax.jit(
+            # the slice consumes the kernel output in-program (axon
+            # fetch quirk — see fused_mha note above)
+            lambda *a: _block_readout_pallas(*a, heads=H)[:, :2]
+        )(*rargs)
+    )
+    want_r = np.asarray(
+        jax.jit(lambda *a: _readout_twin(*a, heads=H)[:, :2])(*rargs)
+    )
+    scale_r = float(np.max(np.abs(want_r))) or 1.0
+    err = float(np.max(np.abs(got_r - want_r))) / scale_r
+    finite = bool(np.all(np.isfinite(got_r)))
+    check("vit_block_readout[32,513,384]", finite and err < 3e-2,
+          f"max rel err {err:.2e} vs XLA twin, finite={finite}")
+
     # --- whole-trunk megakernel (all blocks + readout, one call) ---
     from ppt_tpu.kernels.vitblock import _vit_tower_pallas, _vit_tower_twin
 
@@ -351,6 +371,45 @@ def main() -> int:
     err = float(np.max(np.abs(got_m - want_m))) / scale_m
     check("fused_mini.eval", err < 5e-2,
           f"max rel err {err:.2e} (bf16 fused-BN folding vs unfused)")
+
+    # --- fused MiniPointNet TRAIN mode (the moment-matrix stats sweep +
+    # folded forward) vs the unfused XLA path. The stats kernel uses a
+    # cross-grid-instance accumulator (pl.when-initialized constant-index
+    # output block) — a Mosaic-only construct the interpreter tests
+    # cannot validate; this row checks BOTH the train-mode tokens and
+    # the updated bn2 batch_stats on real hardware.
+    # TWO function objects: the env flag is read at trace time and is
+    # not part of the jit cache key — reusing one function would compare
+    # the first compilation to itself (a vacuous check).
+    def train_apply_fused(v, x):
+        out, upd = mini.apply(v, x, train=True, mutable=["batch_stats"])
+        bs2 = upd["batch_stats"]["bn2"]
+        return (out.astype(jnp.float32), bs2["mean"].astype(jnp.float32),
+                bs2["var"].astype(jnp.float32))
+
+    def train_apply_xla(v, x):
+        out, upd = mini.apply(v, x, train=True, mutable=["batch_stats"])
+        bs2 = upd["batch_stats"]["bn2"]
+        return (out.astype(jnp.float32), bs2["mean"].astype(jnp.float32),
+                bs2["var"].astype(jnp.float32))
+
+    got_tm = jax.jit(train_apply_fused)(mv, nbrs)
+    got_tm = tuple(np.asarray(t) for t in got_tm)
+    os.environ["PPT_FORCE_XLA_MINI"] = "1"
+    want_tm = jax.jit(train_apply_xla)(mv, nbrs)
+    want_tm = tuple(np.asarray(t) for t in want_tm)
+    os.environ.pop("PPT_FORCE_XLA_MINI", None)
+    rels = [
+        float(np.max(np.abs(g - w)) / (np.max(np.abs(w)) or 1.0))
+        for g, w in zip(got_tm, want_tm)
+    ]
+    finite = all(bool(np.isfinite(g).all()) for g in got_tm)
+    check(
+        "fused_mini.train_stats",
+        finite and max(rels) < 5e-2,
+        f"rel errs out/mean/var = {rels[0]:.2e}/{rels[1]:.2e}/{rels[2]:.2e}"
+        f", finite={finite}",
+    )
 
     # --- fused CLIP text block at the flagship shape -------------------
     from ppt_tpu.kernels.textblock import _text_pallas, _text_twin

@@ -64,6 +64,29 @@ class TestFusedTextTower:
         scale = np.max(np.abs(g_want)) or 1.0
         assert np.max(np.abs(g_got - g_want)) / scale < 1e-4
 
+    def test_weight_grads_match_xla_f32(self, rng, monkeypatch):
+        """WEIGHT cotangents through the fused path must equal the XLA
+        path's (they come from the twin's vjp and are dead-code-
+        eliminated when the tower is frozen) — a hypothetical
+        unfrozen-tower config must never see silent zeros."""
+        model, variables, x, eot = _tower(rng)
+
+        def loss(v):
+            emb = model.apply(v, x, eot)
+            return jnp.sum(jnp.sin(emb))
+
+        monkeypatch.setenv("PPT_FUSED_TEXT_TOWER", "0")
+        g_want = jax.grad(loss)(variables)["params"]
+        monkeypatch.setenv("PPT_FUSED_TEXT_TOWER", "1")
+        g_got = jax.grad(loss)(variables)["params"]
+        flat_w, _ = jax.tree_util.tree_flatten_with_path(g_want)
+        flat_g = jax.tree_util.tree_leaves(g_got)
+        assert any(float(jnp.max(jnp.abs(w))) > 0 for _, w in flat_w)
+        for (path, w), g in zip(flat_w, flat_g):
+            scale = float(jnp.max(jnp.abs(w))) or 1.0
+            err = float(jnp.max(jnp.abs(g - w))) / scale
+            assert err < 1e-4, (jax.tree_util.keystr(path), err)
+
     def test_bf16_drift_bounded(self, rng, monkeypatch):
         cfg = TextConfig(
             vocab_size=512, context_length=77, width=128, layers=2,
