@@ -85,6 +85,28 @@ def _forward_twin(
 # ---------------------------------------------------------------------------
 
 
+def _x2_of(x_ref, fw1_ref, fb1_ref, w2_ref, b2_ref, dtype):
+    """Stage 1+2 from the TRANSPOSED input block ``x_ref [1, 3, gm]``.
+
+    The transposed layout keeps the input's VMEM block at [3(pad 8), gm]
+    instead of [gm, 3(pad 128)] — a ~16x smaller footprint whose saving
+    (~3.7 MB double-buffered at gm=4096) is what lets the 128-group
+    tiles fit the 16 MB scoped limit. The 3-deep contraction runs as
+    ``dot_general`` over dim 0 of both operands, so no in-kernel
+    transpose is needed."""
+    x = x_ref[0].astype(dtype)  # [3, gm]
+    x1 = jnp.maximum(
+        lax.dot_general(
+            x, fw1_ref[:, :].astype(dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype) + fb1_ref[0].astype(dtype), 0,
+    )  # [gm, 128]
+    return lax.dot_general(
+        x1, w2_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype) + b2_ref[0].astype(dtype)  # [gm, 256]
+
+
 def _stats_kernel(
     m_size, dtype,
     x_ref, fw1_ref, fb1_ref, w2_ref, b2_ref,
@@ -100,21 +122,12 @@ def _stats_kernel(
     per-group column sums ``sg_ref`` and maxes ``gm_ref`` (f32); the tiny
     quadratic-form epilogue happens in XLA (``_stats_pallas``).
 
-    x_ref: [1, gm_blk, 3]; sg/gm_ref: [1, g_blk, Cs]."""
-    gm = x_ref.shape[1]
+    x_ref: [1, 3, gm_blk] (transposed — see _x2_of); sg/gm_ref:
+    [1, g_blk, Cs]."""
+    gm = x_ref.shape[2]
     b = pl.program_id(0)
     t = pl.program_id(1)
-    x = x_ref[0].astype(dtype)
-    x1 = jnp.maximum(
-        lax.dot_general(
-            x, fw1_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype) + fb1_ref[0].astype(dtype), 0,
-    )
-    x2 = lax.dot_general(
-        x1, w2_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype) + b2_ref[0].astype(dtype)
+    x2 = _x2_of(x_ref, fw1_ref, fb1_ref, w2_ref, b2_ref, dtype)
 
     m2_partial = lax.dot_general(
         x2, x2, (((0,), (0,)), ((), ())),
@@ -137,19 +150,10 @@ def _forward_kernel(
     x_ref, fw1_ref, fb1_ref, w2_ref, b2_ref, fwg_ref, fwl_ref, fbs_ref,
     w3_ref, b3_ref, out_ref,
 ):
-    """x_ref: [1, gm_blk, 3]; out_ref: [1, gm_blk // m_size, 256]."""
-    gm = x_ref.shape[1]
-    x = x_ref[0].astype(dtype)
-    x1 = jnp.maximum(
-        lax.dot_general(
-            x, fw1_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype) + fb1_ref[0].astype(dtype), 0,
-    )
-    x2 = lax.dot_general(
-        x1, w2_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype) + b2_ref[0].astype(dtype)
+    """x_ref: [1, 3, gm_blk] (transposed — see _x2_of);
+    out_ref: [1, gm_blk // m_size, 256]."""
+    gm = x_ref.shape[2]
+    x2 = _x2_of(x_ref, fw1_ref, fb1_ref, w2_ref, b2_ref, dtype)
     g = jnp.max(x2.reshape(gm // m_size, m_size, -1), axis=1)
     gh = lax.dot_general(
         g, fwg_ref[:, :].astype(dtype), (((1,), (0,)), ((), ())),
@@ -178,8 +182,13 @@ def _pick_gm_blk(n_groups: int, m_size: int) -> int:
     env = os.environ.get("PPT_MINI_GBLK")
     if env and n_groups % int(env) == 0:
         return int(env) * m_size
-    for g_blk in (64, 32, 16, 8):
-        if n_groups % g_blk == 0:
+    # 128-group tiles measured fastest at the flagship shape (v5e chain
+    # probes, same session: fwd 3.22 -> 1.88 ms, stats 1.17 -> 0.90 ms
+    # together with the transposed input — docs/PROFILE_r04.md); the
+    # 4096-row cap keeps the stage intermediates inside the 16 MB
+    # scoped-VMEM limit for larger m_size.
+    for g_blk in (128, 64, 32, 16, 8):
+        if n_groups % g_blk == 0 and g_blk * m_size <= 4096:
             return g_blk * m_size
     return m_size
 
@@ -219,11 +228,12 @@ def _stats_pallas(
     cs = w2.shape[1]
     fb1, b2 = (t.reshape(1, -1) for t in (fb1, b2))
     wshapes = [fw1.shape, fb1.shape, w2.shape, b2.shape]
+    xt = jnp.swapaxes(groups2, 1, 2)  # [B, 3, GM] — see _x2_of
     m2, sg, gmax = pl.pallas_call(
         functools.partial(_stats_kernel, m_size, dtype),
         grid=(B, tiles),
         in_specs=[
-            pl.BlockSpec((1, gm_blk, 3), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, 3, gm_blk), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
             *_wspecs(wshapes),
         ],
@@ -241,7 +251,7 @@ def _stats_pallas(
             jax.ShapeDtypeStruct((B * tiles, g_blk, cs), jnp.float32),
         ],
         interpret=interpret,
-    )(groups2, fw1, fb1, w2, b2)
+    )(xt, fw1, fb1, w2, b2)
 
     n_groups = B * G
     sg = sg.reshape(n_groups, cs)
@@ -279,11 +289,12 @@ def _forward_pallas(
     fb1, b2, fbsplit, b3 = (t.reshape(1, -1) for t in (fb1, b2, fbsplit, b3))
     wshapes = [fw1.shape, fb1.shape, w2.shape, b2.shape, fwg.shape,
                fwl.shape, fbsplit.shape, w3.shape, b3.shape]
+    xt = jnp.swapaxes(groups2, 1, 2)  # [B, 3, GM] — see _x2_of
     out = pl.pallas_call(
         functools.partial(_forward_kernel, m_size, dtype),
         grid=(B, tiles),
         in_specs=[
-            pl.BlockSpec((1, gm_blk, 3), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, 3, gm_blk), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
             *_wspecs(wshapes),
         ],
@@ -292,7 +303,7 @@ def _forward_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((B, G, co), dtype),
         interpret=interpret,
-    )(groups2, fw1, fb1, w2, b2, fwg, fwl, fbsplit, w3, b3)
+    )(xt, fw1, fb1, w2, b2, fwg, fwl, fbsplit, w3, b3)
     return out
 
 

@@ -65,12 +65,13 @@ def _nil_ms(operand, iters: int) -> float:
     return best * 1e3
 
 
-def probe_grouping(iters: int) -> float:
-    """fused_group at the flagship shape (B32 N1024, 512x32)."""
+def probe_grouping(iters: int, npoints: int = 1024) -> float:
+    """fused_group at B32, ``--npoints`` x (512x32) — 1024 is the
+    flagship, 8192 the reference-native config."""
     from ppt_tpu.kernels.group import fused_group
 
     xyz = jnp.asarray(
-        np.random.RandomState(0).rand(32, 1024, 3).astype(np.float32)
+        np.random.RandomState(0).rand(32, npoints, 3).astype(np.float32)
     )
     nil = _nil_ms(xyz, iters)
 
@@ -79,6 +80,40 @@ def probe_grouping(iters: int) -> float:
         return jnp.sum(nb.astype(jnp.float32)) * 1e-9 + jnp.sum(
             ctr.astype(jnp.float32)
         ) * 1e-9
+
+    return _chain_time(f, xyz, iters, nil)
+
+
+def probe_fps(iters: int, npoints: int = 1024) -> float:
+    """fps_batched alone at B32, ``--npoints`` points -> 512 centers."""
+    from ppt_tpu.kernels.group import fps_batched
+
+    xyz = jnp.asarray(
+        np.random.RandomState(0).rand(32, npoints, 3).astype(np.float32)
+    )
+    nil = _nil_ms(xyz, iters)
+
+    def f(x, c):
+        idx = fps_batched(x + c * 1e-20, 512)
+        return jnp.sum(idx.astype(jnp.float32)) * 1e-9
+
+    return _chain_time(f, xyz, iters, nil)
+
+
+def probe_knn(iters: int, npoints: int = 1024) -> float:
+    """knn_gather alone (k=32, 512 centers) at B32, ``--npoints``."""
+    from ppt_tpu.kernels.group import knn_gather
+
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.rand(32, npoints, 3).astype(np.float32))
+    ctr = jnp.asarray(rng.rand(32, 512, 3).astype(np.float32))
+    nil = _nil_ms(xyz, iters)
+
+    def f(x, c):
+        idx, nb = knn_gather(32, x + c * 1e-20, ctr)
+        return jnp.sum(nb.astype(jnp.float32)) * 1e-9 + jnp.sum(
+            idx.astype(jnp.float32)
+        ) * 1e-12
 
     return _chain_time(f, xyz, iters, nil)
 
