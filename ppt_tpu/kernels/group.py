@@ -163,7 +163,7 @@ def fps_batched(
 
 
 def _knn_gather_kernel(
-    k: int, n_valid: int, relative: bool,
+    k: int, n_valid: int, relative: bool, pair: bool,
     q_ref, xyz_ref, parts_ref, idx_ref, nx_ref, ny_ref, nz_ref, dist_ref,
 ):
     """q_ref: [1, S_blk, 3]; xyz_ref: [1, 3, Npad]; parts_ref:
@@ -201,11 +201,19 @@ def _knn_gather_kernel(
     # limit at k=32). Outputs accumulate into the carry via one-hot
     # column masks (exact: index/coord values times 0/1), written once
     # at the end — also sidesteps dynamic-lane-offset stores.
+    #
+    # TWO winners per pass: the second extraction reuses the first's
+    # eviction materialization (``r2``) before it is written back, so a
+    # pair costs ~8 full-width VPU tile-ops + 1 write vs ~6 + 1 per
+    # single-winner pass — ~25% fewer ops/winner and half the loop
+    # passes. (A read-only lexicographic-threshold form — no eviction
+    # writes at all — measured SLOWER: 20.2 vs 16.1 ms at N=8192; the
+    # loop is op-count-bound, and the threshold mask costs more ops
+    # than the write it saves.)
     lane_k = lax.broadcasted_iota(jnp.int32, (s_blk, k), dimension=1)
 
-    def body(j, carry):
-        acc_i, acc_x, acc_y, acc_z = carry
-        running = dist_ref[:, :]
+    def extract(running, j):
+        """One exact min-extraction: (evicted running', idx, coords)."""
         m = jnp.min(running, axis=1, keepdims=True)
         # tie-break to the lowest index (reference knn_point contract)
         idx = jnp.min(
@@ -219,18 +227,47 @@ def _knn_gather_kernel(
         )  # [S_blk, 9] — one bf16 MXU pass
         g = g9[:, 0:3] + g9[:, 3:6] + g9[:, 6:9]  # exact f32 coords
         oh = (lane_k == j).astype(jnp.float32)  # [S_blk, k]
-        dist_ref[:, :] = jnp.where(sel, jnp.inf, running)
-        return (
-            acc_i + idx.astype(jnp.float32) * oh,
-            acc_x + g[:, 0:1] * oh,
-            acc_y + g[:, 1:2] * oh,
-            acc_z + g[:, 2:3] * oh,
-        )
+        return jnp.where(sel, jnp.inf, running), idx, g, oh
 
     zero = jnp.zeros((s_blk, k), jnp.float32)
-    acc_i, acc_x, acc_y, acc_z = lax.fori_loop(
-        0, k, body, (zero, zero, zero, zero)
-    )
+    if pair:
+        def body(p, carry):
+            acc_i, acc_x, acc_y, acc_z = carry
+            r1, idx1, g1, oh1 = extract(dist_ref[:, :], 2 * p)
+            r2, idx2, g2, oh2 = extract(r1, 2 * p + 1)
+            dist_ref[:, :] = r2
+            return (
+                acc_i + idx1.astype(jnp.float32) * oh1
+                + idx2.astype(jnp.float32) * oh2,
+                acc_x + g1[:, 0:1] * oh1 + g2[:, 0:1] * oh2,
+                acc_y + g1[:, 1:2] * oh1 + g2[:, 1:2] * oh2,
+                acc_z + g1[:, 2:3] * oh1 + g2[:, 2:3] * oh2,
+            )
+
+        acc_i, acc_x, acc_y, acc_z = lax.fori_loop(
+            0, k // 2, body, (zero, zero, zero, zero)
+        )
+        if k % 2:  # odd k: one trailing single-winner pass
+            _, idx1, g1, oh1 = extract(dist_ref[:, :], k - 1)
+            acc_i = acc_i + idx1.astype(jnp.float32) * oh1
+            acc_x = acc_x + g1[:, 0:1] * oh1
+            acc_y = acc_y + g1[:, 1:2] * oh1
+            acc_z = acc_z + g1[:, 2:3] * oh1
+    else:  # single-winner reference form (the round-3 kernel), kept for A/B
+        def body(j, carry):
+            acc_i, acc_x, acc_y, acc_z = carry
+            r1, idx1, g1, oh1 = extract(dist_ref[:, :], j)
+            dist_ref[:, :] = r1
+            return (
+                acc_i + idx1.astype(jnp.float32) * oh1,
+                acc_x + g1[:, 0:1] * oh1,
+                acc_y + g1[:, 1:2] * oh1,
+                acc_z + g1[:, 2:3] * oh1,
+            )
+
+        acc_i, acc_x, acc_y, acc_z = lax.fori_loop(
+            0, k, body, (zero, zero, zero, zero)
+        )
     idx_ref[0, :, :] = acc_i.astype(jnp.int32)
     if relative:
         nx_ref[0, :, :] = acc_x - qx
@@ -242,13 +279,16 @@ def _knn_gather_kernel(
         nz_ref[0, :, :] = acc_z
 
 
-@functools.partial(jax.jit, static_argnames=("k", "relative", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "relative", "pair", "interpret")
+)
 def knn_gather(
     k: int,
     xyz: jax.Array,
     new_xyz: jax.Array,
     *,
     relative: bool = True,
+    pair: bool = True,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """kNN + coordinate gather in one kernel.
@@ -273,7 +313,7 @@ def knn_gather(
     out_spec = pl.BlockSpec((1, s_blk, k), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, S, k), jnp.float32)
     idx, nx, ny, nz = pl.pallas_call(
-        functools.partial(_knn_gather_kernel, k, N, relative),
+        functools.partial(_knn_gather_kernel, k, N, relative, pair),
         grid=(B, S // s_blk),
         in_specs=[
             pl.BlockSpec((1, s_blk, 3), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
@@ -425,7 +465,7 @@ def _ball_query_kernel_v2(
 
 
 def _ball_query_feats_kernel(
-    nsample: int, radius: float, n_valid: int, relative: bool,
+    nsample: int, radius: float, n_valid: int, relative: bool, mode: str,
     q_ref, xyz_ref, xyz_nl_ref, feats_ref,
     idx_ref, nx_ref, ny_ref, nz_ref, fj_ref, dist_ref,
 ):
@@ -443,7 +483,7 @@ def _ball_query_feats_kernel(
     time to bound VMEM.
     """
     _ball_query_kernel(
-        nsample, radius, n_valid, relative,
+        nsample, radius, n_valid, relative, mode,
         q_ref, xyz_ref, xyz_nl_ref, idx_ref, nx_ref, ny_ref, nz_ref,
         dist_ref,
     )
@@ -476,7 +516,7 @@ def _ball_query_feats_kernel(
 
 
 def _ball_query_kernel(
-    nsample: int, radius: float, n_valid: int, relative: bool,
+    nsample: int, radius: float, n_valid: int, relative: bool, mode: str,
     q_ref, xyz_ref, xyz_nl_ref, idx_ref, nx_ref, ny_ref, nz_ref, dist_ref,
 ):
     """v1 extraction-pass ball query — the SHIPPED kernel (the
@@ -492,13 +532,13 @@ def _ball_query_kernel(
 
     q_ref: [1, S_blk, 3]; xyz_ref: [1, 3, Npad];
     idx/nx/ny/nz_ref: [1, S_blk, nsample]; dist_ref: [S_blk, Npad]
-    scratch holds the "avail" table: each available lane stores its own
-    lane index as f32, taken lanes hold an +inf sentinel. The running
-    min of the table IS the next candidate (ascending-index extraction,
-    the reference's order), and eviction reuses the same ``sel`` mask
-    the gather matmul needs — the loop touches ~4 full-width tiles per
-    pass vs ~9 for the old 0/1-mask formulation (measured-bound on VPU
-    throughput at the PointNeXt stage-1 shape).
+    scratch holds the "avail" table: each in-ball lane stores its own
+    lane index as f32, others hold an +inf sentinel. The table is
+    written ONCE; each pass takes the min over entries greater than the
+    carried last winner (ascending-index extraction, the reference's
+    order) — no per-pass eviction write-back (was the ~4-tiles/pass
+    formulation; before that, ~9 with the 0/1 mask — both
+    measured-bound on VPU throughput at the PointNeXt stage-1 shape).
     """
     s_blk = q_ref.shape[1]
     n_pad = xyz_ref.shape[2]
@@ -522,42 +562,98 @@ def _ball_query_kernel(
     # fori_loop + one-hot output accumulation for the same scoped-VMEM
     # reason as _knn_gather_kernel. `first` (the pad-with-first-hit
     # index) rides the carry; j == 0 initializes it in-loop.
+    #
+    # Three extraction variants for on-chip A/B (winners stream out in
+    # identical ascending-index order in all three):
+    #   evict     — per-winner min + masked inf write-back (round-3 form)
+    #   threshold — avail table read-only; min over entries > the
+    #               carried last winner (no write-backs)
+    #   paired    — two winners per pass; the second min reuses the
+    #               first's eviction materialization before one combined
+    #               write-back (the _knn_gather_kernel trick)
     lane_k = lax.broadcasted_iota(jnp.int32, (s_blk, nsample), dimension=1)
 
-    def body(j, carry):
-        first, acc_i, acc_x, acc_y, acc_z = carry
-        cand = jnp.min(dist_ref[:, :], axis=1, keepdims=True)  # [S_blk, 1]
+    def winner(cand, j, first):
+        """Shared per-winner tail: first-hit padding, gather, one-hot."""
         found = cand < inf
         # reference pads with the first hit; all-empty queries clamp
         first = jnp.where(
             j == 0, jnp.where(found, cand, jnp.float32(n_valid - 1)), first
         )
         idx = jnp.where(found, cand, first)
-        # exact f32 integer compare (lane < 2^24); sel drives BOTH the
-        # gather matmul and the eviction — when exhausted it re-evicts
-        # `first`, which is already at the sentinel (harmless)
+        # exact f32 integer compare (lane < 2^24); when exhausted sel
+        # re-gathers `first` (harmless — idx already falls back to it)
         sel = lane_f == idx
         g9 = lax.dot_general(
             sel.astype(jnp.bfloat16), support,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [S_blk, 9] — one bf16 MXU pass (idx already falls back to first hit)
+        )  # [S_blk, 9] — one bf16 MXU pass
         g = g9[:, 0:3] + g9[:, 3:6] + g9[:, 6:9]  # exact f32 coords
         oh = (lane_k == j).astype(jnp.float32)  # [S_blk, nsample]
-        dist_ref[:, :] = jnp.where(sel, inf, dist_ref[:, :])
-        return (
-            first,
-            acc_i + idx * oh,
-            acc_x + g[:, 0:1] * oh,
-            acc_y + g[:, 1:2] * oh,
-            acc_z + g[:, 2:3] * oh,
+        acc = (
+            idx * oh, g[:, 0:1] * oh, g[:, 1:2] * oh, g[:, 2:3] * oh,
         )
+        return first, cand, sel, acc
+
+    def add(a, b):
+        return tuple(x + y for x, y in zip(a, b))
 
     zero = jnp.zeros((s_blk, nsample), jnp.float32)
+    acc0 = (zero, zero, zero, zero)
     first0 = jnp.zeros((s_blk, 1), jnp.float32)
-    _, acc_i, acc_x, acc_y, acc_z = lax.fori_loop(
-        0, nsample, body, (first0, zero, zero, zero, zero)
-    )
+
+    if mode == "threshold":
+        def body(j, carry):
+            first, last, acc = carry
+            tbl = dist_ref[:, :]
+            cand = jnp.min(
+                jnp.where(tbl > last, tbl, inf), axis=1, keepdims=True
+            )
+            first, cand, _, a = winner(cand, j, first)
+            return (
+                first,
+                jnp.where(cand < inf, cand, last),
+                add(acc, a),
+            )
+
+        last0 = jnp.full((s_blk, 1), -1.0, jnp.float32)
+        _, _, (acc_i, acc_x, acc_y, acc_z) = lax.fori_loop(
+            0, nsample, body, (first0, last0, acc0)
+        )
+    elif mode == "paired":
+        def pbody(p, carry):
+            first, acc = carry
+            running = dist_ref[:, :]
+            c1 = jnp.min(running, axis=1, keepdims=True)
+            first, _, sel1, a1 = winner(c1, 2 * p, first)
+            r1 = jnp.where(sel1, inf, running)
+            c2 = jnp.min(r1, axis=1, keepdims=True)
+            first, _, sel2, a2 = winner(c2, 2 * p + 1, first)
+            dist_ref[:, :] = jnp.where(sel2, inf, r1)
+            return first, add(add(acc, a1), a2)
+
+        first, (acc_i, acc_x, acc_y, acc_z) = lax.fori_loop(
+            0, nsample // 2, pbody, (first0, acc0)
+        )
+        if nsample % 2:
+            c1 = jnp.min(dist_ref[:, :], axis=1, keepdims=True)
+            _, _, _, a1 = winner(c1, nsample - 1, first)
+            acc_i, acc_x, acc_y, acc_z = add(
+                (acc_i, acc_x, acc_y, acc_z), a1
+            )
+    else:  # evict — the round-3 reference form
+        def ebody(j, carry):
+            first, acc = carry
+            running = dist_ref[:, :]
+            cand = jnp.min(running, axis=1, keepdims=True)
+            first, _, sel, a = winner(cand, j, first)
+            dist_ref[:, :] = jnp.where(sel, inf, running)
+            return first, add(acc, a)
+
+        _, (acc_i, acc_x, acc_y, acc_z) = lax.fori_loop(
+            0, nsample, ebody, (first0, acc0)
+        )
     idx_ref[0, :, :] = acc_i.astype(jnp.int32)
     if relative:
         nx_ref[0, :, :] = acc_x - qx
@@ -570,7 +666,8 @@ def _ball_query_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nsample", "radius", "relative", "interpret")
+    jax.jit,
+    static_argnames=("nsample", "radius", "relative", "mode", "interpret"),
 )
 def ball_query_gather(
     radius: float,
@@ -579,6 +676,7 @@ def ball_query_gather(
     new_xyz: jax.Array,
     *,
     relative: bool = True,
+    mode: str = "paired",
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Ball query + coordinate gather in one kernel.
@@ -605,7 +703,9 @@ def ball_query_gather(
     out_spec = pl.BlockSpec((1, s_blk, nsample), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM)
     fshape = jax.ShapeDtypeStruct((B, S, nsample), jnp.float32)
     idx, nx, ny, nz = pl.pallas_call(
-        functools.partial(_ball_query_kernel, nsample, float(radius), N, relative),
+        functools.partial(
+            _ball_query_kernel, nsample, float(radius), N, relative, mode
+        ),
         grid=(B, S // s_blk),
         in_specs=[
             pl.BlockSpec((1, s_blk, 3), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
@@ -628,7 +728,8 @@ def ball_query_gather(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nsample", "radius", "relative", "interpret")
+    jax.jit,
+    static_argnames=("nsample", "radius", "relative", "mode", "interpret"),
 )
 def ball_query_gather_feats(
     radius: float,
@@ -638,6 +739,7 @@ def ball_query_gather_feats(
     feats: jax.Array,
     *,
     relative: bool = True,
+    mode: str = "paired",
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Ball query + coordinate gather + feature gather in one kernel.
@@ -670,7 +772,8 @@ def ball_query_gather_feats(
     fshape = jax.ShapeDtypeStruct((B, S, nsample), jnp.float32)
     idx, nx, ny, nz, fj = pl.pallas_call(
         functools.partial(
-            _ball_query_feats_kernel, nsample, float(radius), N, relative
+            _ball_query_feats_kernel, nsample, float(radius), N, relative,
+            mode,
         ),
         grid=(B, S // s_blk),
         in_specs=[

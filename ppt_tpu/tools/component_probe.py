@@ -100,7 +100,7 @@ def probe_fps(iters: int, npoints: int = 1024) -> float:
     return _chain_time(f, xyz, iters, nil)
 
 
-def probe_knn(iters: int, npoints: int = 1024) -> float:
+def probe_knn(iters: int, npoints: int = 1024, pair: bool = True) -> float:
     """knn_gather alone (k=32, 512 centers) at B32, ``--npoints``."""
     from ppt_tpu.kernels.group import knn_gather
 
@@ -110,12 +110,51 @@ def probe_knn(iters: int, npoints: int = 1024) -> float:
     nil = _nil_ms(xyz, iters)
 
     def f(x, c):
-        idx, nb = knn_gather(32, x + c * 1e-20, ctr)
+        idx, nb = knn_gather(32, x + c * 1e-20, ctr, pair=pair)
         return jnp.sum(nb.astype(jnp.float32)) * 1e-9 + jnp.sum(
             idx.astype(jnp.float32)
         ) * 1e-12
 
     return _chain_time(f, xyz, iters, nil)
+
+
+def probe_knn_single(iters: int, npoints: int = 1024) -> float:
+    """The round-3 single-winner extraction loop (A/B reference)."""
+    return probe_knn(iters, npoints, pair=False)
+
+
+def probe_ball(iters: int, npoints: int = 1024, mode: str = "paired") -> float:
+    """ball_query_gather_feats at the PointNeXt-S stage-1 anchor shape
+    (B128, N=--npoints, S=512, r=0.15, nsample=32, F=32 bf16)."""
+    from ppt_tpu.kernels.group import ball_query_gather_feats
+
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.rand(128, npoints, 3).astype(np.float32))
+    ctr = jnp.asarray(xyz[:, :512, :])
+    feats = jnp.asarray(rng.rand(128, npoints, 32).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    nil = _nil_ms(xyz, iters)
+
+    def f(x, c):
+        idx, rel, fj = ball_query_gather_feats(
+            0.15, 32, x + c * 1e-20, ctr, feats, mode=mode
+        )
+        return (
+            jnp.sum(rel.astype(jnp.float32)) * 1e-9
+            + jnp.sum(fj.astype(jnp.float32)) * 1e-9
+            + jnp.sum(idx.astype(jnp.float32)) * 1e-12
+        )
+
+    return _chain_time(f, xyz, iters, nil)
+
+
+def probe_ball_evict(iters: int, npoints: int = 1024) -> float:
+    return probe_ball(iters, npoints, mode="evict")
+
+
+def probe_ball_thresh(iters: int, npoints: int = 1024) -> float:
+    return probe_ball(iters, npoints, mode="threshold")
 
 
 def _mini_weights(rng):
@@ -233,8 +272,35 @@ def probe_vit12(iters: int) -> float:
     return _chain_time(f, x, iters, nil)
 
 
+def probe_knn_xla(iters: int, npoints: int = 1024) -> float:
+    """XLA ``ops.knn_point`` + gather (the kernel-off fallback path) at
+    the same shape as ``probe_knn`` — the fused/XLA crossover check."""
+    from ppt_tpu import ops
+
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.rand(32, npoints, 3).astype(np.float32))
+    ctr = jnp.asarray(rng.rand(32, 512, 3).astype(np.float32))
+    nil = _nil_ms(xyz, iters)
+
+    def f(x, c):
+        idx = ops.knn_point(32, x + c * 1e-20, ctr)
+        nb = ops.index_points(x, idx) - ctr[:, :, None, :]
+        return jnp.sum(nb.astype(jnp.float32)) * 1e-9 + jnp.sum(
+            idx.astype(jnp.float32)
+        ) * 1e-12
+
+    return _chain_time(f, xyz, iters, nil)
+
+
 PROBES = {
     "grouping": probe_grouping,
+    "fps": probe_fps,
+    "knn": probe_knn,
+    "knn_single": probe_knn_single,
+    "knn_xla": probe_knn_xla,
+    "ball": probe_ball,
+    "ball_evict": probe_ball_evict,
+    "ball_thresh": probe_ball_thresh,
     "mini_fwd": probe_mini_fwd,
     "mini_stats": probe_mini_stats,
     "text_fwd": probe_text_fwd,
@@ -242,14 +308,24 @@ PROBES = {
     "vit12": probe_vit12,
 }
 
+# probes whose cost depends on the raw point count (--npoints)
+_NPOINT_PROBES = (
+    "grouping", "fps", "knn", "knn_single", "knn_xla",
+    "ball", "ball_evict", "ball_thresh",
+)
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--npoints", type=int, default=1024)
     ap.add_argument("--components", default=",".join(PROBES))
     flags = ap.parse_args()
     for name in flags.components.split(","):
-        ms = PROBES[name](flags.iters)
+        if name in _NPOINT_PROBES:
+            ms = PROBES[name](flags.iters, npoints=flags.npoints)
+        else:
+            ms = PROBES[name](flags.iters)
         print(f"{name:>11}: {ms:7.3f} ms", flush=True)
 
 

@@ -354,6 +354,50 @@ class TestBallQueryGatherFeats:
         )
 
 
+class TestExtractionVariants:
+    """The paired/threshold extraction forms must be bit-identical to the
+    single-winner evicting loop — including under exact distance ties
+    (duplicated points) and empty neighborhoods."""
+
+    @pytest.mark.parametrize("K", [8, 7])  # even (paired) + odd (tail pass)
+    def test_knn_pair_matches_single(self, rng, K):
+        from ppt_tpu.kernels.group import knn_gather
+
+        B, N, S = 2, 192, 16
+        xyz = rng.rand(B, N, 3).astype(np.float32)
+        xyz[:, 50:60] = xyz[:, 40:50]  # duplicated points: exact ties
+        q = xyz[:, :S].copy()
+        idx_p, nb_p = knn_gather(
+            K, jnp.asarray(xyz), jnp.asarray(q), pair=True, interpret=True
+        )
+        idx_s, nb_s = knn_gather(
+            K, jnp.asarray(xyz), jnp.asarray(q), pair=False, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_s))
+        np.testing.assert_array_equal(np.asarray(nb_p), np.asarray(nb_s))
+
+    @pytest.mark.parametrize("K", [8, 5])
+    @pytest.mark.parametrize("mode", ["paired", "threshold"])
+    def test_ball_modes_match_evict(self, rng, mode, K):
+        from ppt_tpu.kernels.group import ball_query_gather
+
+        B, N, S, radius = 2, 192, 16, 0.12
+        xyz = rng.rand(B, N, 3).astype(np.float32)
+        xyz[:, 50:60] = xyz[:, 40:50]
+        q = xyz[:, :S].copy()
+        q[0, 3] = 50.0  # empty neighborhood: clamp + first-hit padding
+        idx_m, grp_m = ball_query_gather(
+            radius, K, jnp.asarray(xyz), jnp.asarray(q), mode=mode,
+            interpret=True,
+        )
+        idx_e, grp_e = ball_query_gather(
+            radius, K, jnp.asarray(xyz), jnp.asarray(q), mode="evict",
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(idx_m), np.asarray(idx_e))
+        np.testing.assert_array_equal(np.asarray(grp_m), np.asarray(grp_e))
+
+
 def test_ball_query_gather_rejects_non_multiple_of_8():
     """The s_blk chooser must raise the intended diagnostic, not a bare
     StopIteration, for S not divisible by 8."""
