@@ -15,6 +15,16 @@ Synthetic stand-in (runs in this environment, no datasets/weights):
 
     python -m ppt_tpu.tools.e2e_parity --tiny --steps 3 --sgd_steps 3
 
+``--head_type {0,1,2,3}`` widens the lockstep-SGD trainable partition to
+the reference's progressive PointAdapter unfreeze lists
+(``ULIP_models.py:461-470``: norm2+mlp.fc2, then norm1+mlp.fc1, then
+attn.qkv+attn.proj of block 11 — depth is forced to 12 so the literal
+``blocks.11`` names exist). ``--task partseg`` runs the dense per-point
+path instead: ``PointTransformer_partseg`` trunk, per-point CE over
+flattened logits (``main_partseg.py:213``), and the reference's partseg
+freeze rule — prompt_learner plus every point_encoder param absent from
+the pretrained cls trunk trains (``ULIP_models.py:550-566``).
+
 Real-data bring-up — the day ``pointbert_ulip2.pt`` / ``slip_base_100ep.pt``
 and a dataset exist, accuracy-parity is ONE command:
 
@@ -185,6 +195,19 @@ _FLAGSHIP = dict(
 )
 
 
+def _dims(flags) -> dict:
+    dims = dict(_TINY if flags.tiny else _FLAGSHIP)
+    if flags.task == "partseg":
+        # Not free even in the stand-in: DGCNN_Propagation hardcodes
+        # 768->512 / 1024->384 widths (pointnet2_utils.py:382-390) and
+        # the trunk taps blocks {3,7,11} (point_encoder.py:326).
+        dims.update(trans_dim=384, depth=12)
+    elif flags.head_type > 0:
+        # the unfreeze lists name ``blocks.11`` literally
+        dims["depth"] = 12
+    return dims
+
+
 def build_torch_model(flags, classnames):
     """The reference ULIP_WITH_IMAGE with a PointTransformer tower —
     ULIP_PointBERT (``ULIP_models.py:443-459``) minus its hard-coded yaml
@@ -193,20 +216,25 @@ def build_torch_model(flags, classnames):
     import torch
 
     ulip_models, pe_mod = _import_reference()
-    dims = _TINY if flags.tiny else _FLAGSHIP
+    dims = _dims(flags)
 
     class Cfg:
         trans_dim = dims["trans_dim"]
         depth = dims["depth"]
         drop_path_rate = 0.0
-        cls_dim = 40  # unused by the ULIP trunk
+        cls_dim = 40  # unused by the ULIP trunk (partseg: dead conv2 dim)
         num_heads = dims["num_heads"]
         group_size = dims["group_size"]
         num_group = dims["num_group"]
         encoder_dims = dims["encoder_dims"]
 
     torch.manual_seed(flags.seed)
-    point_encoder = pe_mod.PointTransformer(Cfg(), args=None)
+    if flags.task == "partseg":
+        point_encoder = pe_mod.PointTransformer_partseg(Cfg(), args=None)
+        pc_feat_dims = 128  # ULIP_models.py:530
+    else:
+        point_encoder = pe_mod.PointTransformer(Cfg(), args=None)
+        pc_feat_dims = 2 * dims["trans_dim"]
     with _cpu_cuda():
         model = ulip_models.ULIP_WITH_IMAGE(
             embed_dim=dims["embed_dim"],
@@ -220,9 +248,9 @@ def build_torch_model(flags, classnames):
             transformer_width=dims["text_width"],
             transformer_heads=dims["text_heads"],
             transformer_layers=dims["text_layers"],
-            pc_feat_dims=2 * dims["trans_dim"],
+            pc_feat_dims=pc_feat_dims,
             device=None,
-            task="cls",
+            task=flags.task,
         )
 
     if flags.point_ckpt or flags.slip_ckpt:
@@ -271,7 +299,7 @@ def _load_reference_ckpts(model, flags):
     print(f"loaded {loaded} reference param tensors from checkpoints")
 
 
-def convert_to_flax(torch_model):
+def convert_to_flax(torch_model, task="cls"):
     """Full ULIP state dict -> our variables tree, through the same
     converters the real checkpoint files use (``ckpt_convert.py``)."""
     from flax import traverse_util
@@ -279,11 +307,13 @@ def convert_to_flax(torch_model):
     from ppt_tpu.tools.ckpt_convert import (
         _t,
         convert_pointbert,
+        convert_pointbert_partseg,
         convert_slip_text,
     )
 
     sd = {k: v for k, v in torch_model.state_dict().items()}
-    point_tree = convert_pointbert(sd)  # point_encoder.* + pc_projection
+    conv_pc = convert_pointbert_partseg if task == "partseg" else convert_pointbert
+    point_tree = conv_pc(sd)  # point_encoder.* + pc_projection
     text_tree = convert_slip_text(sd)  # text tower + logit_scale
 
     p = {}
@@ -314,10 +344,15 @@ def build_our_model(flags, classnames):
     import jax.numpy as jnp
 
     from ppt_tpu.models import PromptArrays, Ulip
-    from ppt_tpu.nn import PointBert, PointBertConfig, TextConfig
+    from ppt_tpu.nn import (
+        PointBert,
+        PointBertConfig,
+        PointBertPartSeg,
+        TextConfig,
+    )
     from ppt_tpu.prompt import build_prompt_spec
 
-    dims = _TINY if flags.tiny else _FLAGSHIP
+    dims = _dims(flags)
     cfg = PointBertConfig(
         trans_dim=dims["trans_dim"], depth=dims["depth"],
         num_heads=dims["num_heads"], group_size=dims["group_size"],
@@ -329,10 +364,15 @@ def build_our_model(flags, classnames):
         heads=dims["text_heads"], embed_dim=dims["embed_dim"],
     )
     dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    if flags.task == "partseg":
+        encoder, pc_feat_dims = PointBertPartSeg(cfg, dtype=dt), 128
+    else:
+        encoder, pc_feat_dims = PointBert(cfg, dtype=dt), 2 * dims["trans_dim"]
     model = Ulip(
-        point_encoder=PointBert(cfg, dtype=dt),
-        pc_feat_dims=2 * dims["trans_dim"],
+        point_encoder=encoder,
+        pc_feat_dims=pc_feat_dims,
         n_ctx=flags.n_ctx,
+        task=flags.task,
         text_config=text_cfg,
         dtype=dt,
     )
@@ -350,17 +390,28 @@ def build_our_model(flags, classnames):
 
 
 def make_batches(flags, n_classes):
-    """k identical (pc, label) numpy batches for both frameworks."""
+    """k identical (pc, label[, cls_onehot]) numpy batches for both
+    frameworks. partseg labels are per-point ([B, N] part ids) plus the
+    16-category shape one-hot the dense trunk consumes
+    (``main_partseg.py:203-210``)."""
     if flags.dataset == "synthetic":
         rng = np.random.RandomState(flags.seed + 1)
         for _ in range(flags.steps):
-            yield (
-                rng.rand(flags.batch_size, flags.npoints, 3).astype(
-                    np.float32
-                ),
-                rng.randint(0, n_classes, flags.batch_size),
+            pc = rng.rand(flags.batch_size, flags.npoints, 3).astype(
+                np.float32
             )
+            if flags.task == "partseg":
+                onehot = np.eye(16, dtype=np.float32)[
+                    rng.randint(0, 16, flags.batch_size)
+                ]
+                yield pc, rng.randint(
+                    0, n_classes, (flags.batch_size, flags.npoints)
+                ), onehot
+            else:
+                yield pc, rng.randint(0, n_classes, flags.batch_size)
         return
+    if flags.task == "partseg":
+        raise SystemExit("--task partseg supports --dataset synthetic only")
     from ppt_tpu.data import build_dataset
 
     ds = build_dataset(flags.dataset, flags, "test")
@@ -375,13 +426,18 @@ def make_batches(flags, n_classes):
 # ---------------------------------------------------------------------------
 
 
-def _torch_eval(model, pc_np):
-    """(pc_embed, text_embed, logits) through the reference eval path."""
+def _torch_eval(model, pc_np, onehot_np=None):
+    """(pc_embed, text_embed, logits) through the reference eval path.
+    partseg: pc_embed is per-point [B, N, E], logits [B, N, C]
+    (``ULIP_models.py:252-283`` with task='partseg')."""
     import torch
 
     with _pinned_fps(), torch.no_grad():
         pc = torch.tensor(pc_np)
-        pc_embed = model.encode_pc(pc)
+        if onehot_np is not None:
+            pc_embed = model.encode_pc(pc, torch.tensor(onehot_np))
+        else:
+            pc_embed = model.encode_pc(pc)
         prompts_t = model.prompt_learner()
         text_embed = model.encode_text(prompts_t, model.tokenized_prompts)
         text_embed = text_embed / text_embed.norm(dim=-1, keepdim=True)
@@ -433,10 +489,14 @@ def run(flags) -> int:
 
     print("== converting weights + building ppt_tpu model ==")
     model, prompts = build_our_model(flags, classnames)
-    tree = convert_to_flax(tmodel)
+    tree = convert_to_flax(tmodel, task=flags.task)
     pc0 = np.zeros((2, flags.npoints, 3), np.float32)
+    init_extra = (
+        (jnp.asarray(np.eye(16, dtype=np.float32)[:2]),)
+        if flags.task == "partseg" else ()
+    )
     variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.asarray(pc0), prompts
+        jax.random.PRNGKey(0), jnp.asarray(pc0), prompts, *init_extra
     )
     bs = variables.get("batch_stats", {})
     merged = merge_pretrained(
@@ -450,26 +510,37 @@ def run(flags) -> int:
     print(f"   converted {n_src} torch tensors into {n_dst}-leaf tree")
 
     @jax.jit
-    def ours(v, pc, pr):
-        pc_e = model.apply(v, pc, method=lambda m, x: m.encode_pc(x))
+    def ours(v, pc, pr, *extra):
+        pc_e = model.apply(
+            v, pc, *extra, method=lambda m, x, *e: m.encode_pc(x, *e)
+        )
         tx_e = model.apply(v, pr, method=lambda m, p: m.encode_text(p))
-        logits = model.apply(v, pc, pr)
+        logits = model.apply(v, pc, pr, *extra)
         return pc_e, tx_e, logits
 
     worst: dict = {}
     failures = 0
     print(f"== {flags.steps} eval batches ==")
-    for k, (pc_np, label_np) in enumerate(make_batches(flags, n_classes)):
-        t_pc, t_tx, t_lg = _torch_eval(tmodel, pc_np)
-        j_pc, j_tx, j_lg = ours(merged, jnp.asarray(pc_np), prompts)
+    for k, batch in enumerate(make_batches(flags, n_classes)):
+        pc_np, label_np = batch[0], batch[1]
+        extra_np = batch[2:]  # partseg: (cls_onehot,)
+        t_pc, t_tx, t_lg = _torch_eval(tmodel, pc_np, *extra_np)
+        j_pc, j_tx, j_lg = ours(
+            merged, jnp.asarray(pc_np), prompts,
+            *(jnp.asarray(e) for e in extra_np),
+        )
+        # partseg flattens [B, N, C] logits to per-point CE rows
+        # (main_partseg.py:213); cls CE is over [B, C] directly
         t_loss = float(
             torch.nn.functional.cross_entropy(
-                torch.tensor(t_lg), torch.tensor(label_np)
+                torch.tensor(np.asarray(t_lg).reshape(-1, n_classes)),
+                torch.tensor(label_np.reshape(-1)),
             )
         )
         j_loss = float(
             optax.softmax_cross_entropy_with_integer_labels(
-                np.asarray(j_lg), label_np
+                np.asarray(j_lg).reshape(-1, n_classes),
+                label_np.reshape(-1),
             ).mean()
         )
         rows = [
@@ -507,60 +578,179 @@ def run(flags) -> int:
     return 1 if failures else 0
 
 
+# The reference's progressive PointAdapter unfreeze lists, verbatim
+# (``ULIP_models.py:461-470``): head_type>0 adds norm2+mlp.fc2 of block
+# 11, >1 adds norm1+mlp.fc1, >2 adds attn.qkv(.weight)+attn.proj.
+_UNFREEZE_TORCH = {
+    1: [
+        "point_encoder.blocks.blocks.11.norm2.weight",
+        "point_encoder.blocks.blocks.11.norm2.bias",
+        "point_encoder.blocks.blocks.11.mlp.fc2.weight",
+        "point_encoder.blocks.blocks.11.mlp.fc2.bias",
+    ],
+    2: [
+        "point_encoder.blocks.blocks.11.norm1.weight",
+        "point_encoder.blocks.blocks.11.norm1.bias",
+        "point_encoder.blocks.blocks.11.mlp.fc1.weight",
+        "point_encoder.blocks.blocks.11.mlp.fc1.bias",
+    ],
+    3: [
+        "point_encoder.blocks.blocks.11.attn.qkv.weight",
+        "point_encoder.blocks.blocks.11.attn.proj.weight",
+        "point_encoder.blocks.blocks.11.attn.proj.bias",
+    ],
+}
+
+
+def _torch_trainable_names(flags, tmodel):
+    """The reference's trainable partition, by parameter name.
+
+    cls: prompt tokens + the head_type unfreeze lists
+    (``ULIP_models.py:461-470``). partseg: prompt_learner plus every
+    point_encoder param NOT present in the pretrained cls trunk — the
+    stand-in reproduces the ckpt-membership test by instantiating the
+    cls ``PointTransformer`` at the same config and using its key set
+    (``ULIP_models.py:550-566``: ``if name in
+    pretrain_point_model_params: freeze``)."""
+    if flags.task == "partseg":
+        _, pe_mod = _import_reference()
+        dims = _dims(flags)
+
+        class Cfg:
+            trans_dim = dims["trans_dim"]
+            depth = dims["depth"]
+            drop_path_rate = 0.0
+            cls_dim = 40
+            num_heads = dims["num_heads"]
+            group_size = dims["group_size"]
+            num_group = dims["num_group"]
+            encoder_dims = dims["encoder_dims"]
+
+        trunk = {
+            "point_encoder." + k
+            for k in pe_mod.PointTransformer(Cfg(), args=None).state_dict()
+        }
+        return [
+            n
+            for n, _ in tmodel.named_parameters()
+            if n.startswith("prompt_learner")
+            or (n.startswith("point_encoder.") and n not in trunk)
+        ]
+    names = ["prompt_learner.learnable_tokens"]
+    for ht, lst in sorted(_UNFREEZE_TORCH.items()):
+        if flags.head_type >= ht:
+            names += lst
+    return names
+
+
 def _sgd_trajectory(flags, tmodel, model, merged, prompts, n_classes) -> int:
-    """Lockstep plain-SGD on the learnable prompt tokens (the head_type-0
-    trainable partition) in both frameworks; diffs the loss trajectory.
-    Grads must flow THROUGH the frozen towers into the prompt vectors —
-    exactly the path the reference trains (``main_cls.py:155-234``)."""
+    """Lockstep plain-SGD on the task's trainable partition in both
+    frameworks; diffs the loss trajectory. Grads must flow THROUGH the
+    frozen towers into the trainable leaves — exactly the path the
+    reference trains (``main_cls.py:155-234`` / ``main_partseg.py:213``).
+    The partition is the reference's: prompt tokens + head_type unfreeze
+    lists (cls) or prompt + non-pretrained point_encoder subtrees
+    (partseg); ours comes from :func:`ppt_tpu.models.trainable_mask`, so
+    a wrong mask shows up as a trajectory (or param-count) divergence."""
     import torch
 
     import jax
     import jax.numpy as jnp
     import optax
 
+    from flax import traverse_util
+
+    from ppt_tpu.models import trainable_mask
+
     lr = flags.sgd_lr
     rng = np.random.RandomState(flags.seed + 2)
-    tokens = tmodel.prompt_learner.learnable_tokens
-    tokens.requires_grad_(True)
 
-    def j_loss_fn(ctx, v, pc, labels):
-        v2 = dict(v)
-        params = dict(v2["params"])
-        pl = dict(params["prompt_learner"])
-        pl["learnable_tokens"] = ctx
-        params["prompt_learner"] = pl
+    named = dict(tmodel.named_parameters())
+    train_names = _torch_trainable_names(flags, tmodel)
+    tparams = [named[n] for n in train_names]
+    for p in tparams:
+        p.requires_grad_(True)
+
+    mask = trainable_mask(
+        merged["params"], head_type=flags.head_type, task=flags.task
+    )
+    flat_mask = traverse_util.flatten_dict(mask)
+    flat_params = traverse_util.flatten_dict(merged["params"])
+    n_ours = sum(
+        int(np.prod(np.shape(flat_params[k]))) for k, m in flat_mask.items() if m
+    )
+
+    def j_loss_fn(params, pc, labels, extra):
+        v2 = dict(merged)
         v2["params"] = params
-        logits = model.apply(v2, pc, prompts)
+        logits = model.apply(v2, pc, prompts, *extra)
         return optax.softmax_cross_entropy_with_integer_labels(
-            logits, labels
+            logits.reshape(-1, n_classes), labels.reshape(-1)
         ).mean()
 
     j_grad = jax.jit(jax.value_and_grad(j_loss_fn))
-    j_ctx = merged["params"]["prompt_learner"]["learnable_tokens"]
+    j_params = merged["params"]
 
     failures = 0
-    print(f"== {flags.sgd_steps} lockstep SGD steps (lr={lr}) ==")
+    counted = False
+    print(
+        f"== {flags.sgd_steps} lockstep SGD steps (lr={lr}, "
+        f"task={flags.task}, head_type={flags.head_type}, "
+        f"{len(train_names)} torch tensors / {n_ours} scalars ours) =="
+    )
     for k in range(flags.sgd_steps):
         pc_np = rng.rand(flags.batch_size, flags.npoints, 3).astype(
             np.float32
         )
-        label_np = rng.randint(0, n_classes, flags.batch_size)
+        if flags.task == "partseg":
+            label_np = rng.randint(
+                0, n_classes, (flags.batch_size, flags.npoints)
+            )
+            extra = (np.eye(16, dtype=np.float32)[
+                rng.randint(0, 16, flags.batch_size)
+            ],)
+        else:
+            label_np = rng.randint(0, n_classes, flags.batch_size)
+            extra = ()
 
         with _pinned_fps():
-            logits_t = tmodel(torch.tensor(pc_np))
-            loss_t = torch.nn.functional.cross_entropy(
-                logits_t, torch.tensor(label_np)
+            targs = (torch.tensor(pc_np),) + tuple(
+                torch.tensor(e) for e in extra
             )
-        (grad_t,) = torch.autograd.grad(loss_t, [tokens])
+            logits_t = tmodel(*targs)
+            loss_t = torch.nn.functional.cross_entropy(
+                logits_t.reshape(-1, n_classes),
+                torch.tensor(label_np.reshape(-1)),
+            )
+        # allow_unused: the reference partseg model carries a dead
+        # ``conv2`` head (constructed, never called — point_encoder.py
+        # :311 vs :418) whose optimizer update is a no-op there too
+        grads_t = torch.autograd.grad(loss_t, tparams, allow_unused=True)
+        if not counted:
+            n_torch = sum(
+                p.numel() for p, g in zip(tparams, grads_t) if g is not None
+            )
+            if n_torch != n_ours:
+                print(
+                    f"  PARTITION MISMATCH: torch trains {n_torch} "
+                    f"scalars, ours {n_ours}"
+                )
+                failures += 1
+            counted = True
         with torch.no_grad():
-            tokens -= lr * grad_t
+            for p, g in zip(tparams, grads_t):
+                if g is not None:
+                    p -= lr * g
             # the reference PromptLearner embeds its base ONCE at init;
             # only the learnable tokens move, nothing to re-embed
 
         loss_j, grad_j = j_grad(
-            j_ctx, merged, jnp.asarray(pc_np), jnp.asarray(label_np)
+            j_params, jnp.asarray(pc_np), jnp.asarray(label_np),
+            tuple(jnp.asarray(e) for e in extra),
         )
-        j_ctx = j_ctx - lr * grad_j
+        j_params = jax.tree.map(
+            lambda p, g, m: p - lr * g if m else p, j_params, grad_j, mask
+        )
 
         diff = abs(float(loss_j) - float(loss_t.detach()))
         ok = diff <= flags.atol * 10  # drift compounds across steps
@@ -589,6 +779,13 @@ def main(argv=None) -> int:
                     help="synthetic mode: how many ModelNet40 classnames")
     ap.add_argument("--class_name_position", default="middle",
                     choices=["front", "middle", "end"])
+    ap.add_argument("--head_type", type=int, default=0,
+                    choices=[0, 1, 2, 3],
+                    help="PointAdapter unfreeze level for the lockstep "
+                         "SGD (ULIP_models.py:461-470); forces depth=12")
+    ap.add_argument("--task", default="cls", choices=["cls", "partseg"],
+                    help="partseg: dense per-point path + the reference "
+                         "partseg freeze rule (ULIP_models.py:550-566)")
     ap.add_argument("--dataset", default="synthetic")
     ap.add_argument("--data_root", default="")
     ap.add_argument("--point_ckpt", default="",
@@ -605,6 +802,15 @@ def main(argv=None) -> int:
                          "(measured drift: pc_embed ~1e-2 abs, loss "
                          "~2e-2 abs at tiny dims)")
     flags = ap.parse_args(argv)
+    if flags.task == "partseg":
+        if flags.head_type:
+            ap.error("--head_type applies to --task cls only (the "
+                     "reference partseg factory ignores it)")
+        if flags.npoints < 512:
+            # the dense trunk FPS-samples 512- and 256-point levels
+            # (point_encoder.py:389-394)
+            print(f"[note] partseg needs npoints>=512; {flags.npoints} -> 512")
+            flags.npoints = 512
 
     if not flags.tpu:
         import jax
