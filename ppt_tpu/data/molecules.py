@@ -57,22 +57,28 @@ def atoms_to_points(
     return {"pos": pos, "features": feats, "label": np.float32(label)}
 
 
-def load_atom_psr(data_dir: str, split: str):
+def load_atom_psr(data_dir: str, split: str, items=None):
     """AtomPSR (psr.py:33-37): atom3d LMDB shards under
-    ``<data_dir>/<split>``. Requires the ``atom3d`` package."""
+    ``<data_dir>/<split>``. Requires the ``atom3d`` package for the
+    shard reader; ``items`` injects an already-read iterable of
+    atom3d-shaped records (``{"atoms": frame, "scores": {"gdt_ts": f}}``
+    where ``frame[["x","y","z"]].to_numpy()`` / ``frame["element"]``
+    work) — the whole transform pipeline downstream of LMDB is then
+    exercised dependency-free (tests/test_molecules.py fixtures)."""
     assert split in ("train", "val", "test")
-    try:
-        from atom3d.datasets import LMDBDataset  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env dependent
-        raise ImportError(
-            "AtomPSR needs the 'atom3d' package (LMDB shard reader), "
-            "not available in this environment"
-        ) from e
-    import os
+    if items is None:  # pragma: no cover - env dependent
+        try:
+            from atom3d.datasets import LMDBDataset  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "AtomPSR needs the 'atom3d' package (LMDB shard reader), "
+                "not available in this environment"
+            ) from e
+        import os
 
-    ds = LMDBDataset(os.path.join(data_dir, split))
+        items = LMDBDataset(os.path.join(data_dir, split))
     out = []
-    for item in ds:
+    for item in items:
         atoms = item["atoms"]
         out.append(
             atoms_to_points(

@@ -163,7 +163,7 @@ def fps_batched(
 
 
 def _knn_gather_kernel(
-    k: int, n_valid: int, relative: bool, pair: bool,
+    k: int, n_valid: int, relative: bool, g_per_write: int, gather: bool,
     q_ref, xyz_ref, parts_ref, idx_ref, nx_ref, ny_ref, nz_ref, dist_ref,
 ):
     """q_ref: [1, S_blk, 3]; xyz_ref: [1, 3, Npad]; parts_ref:
@@ -202,14 +202,16 @@ def _knn_gather_kernel(
     # column masks (exact: index/coord values times 0/1), written once
     # at the end — also sidesteps dynamic-lane-offset stores.
     #
-    # TWO winners per pass: the second extraction reuses the first's
-    # eviction materialization (``r2``) before it is written back, so a
-    # pair costs ~8 full-width VPU tile-ops + 1 write vs ~6 + 1 per
-    # single-winner pass — ~25% fewer ops/winner and half the loop
-    # passes. (A read-only lexicographic-threshold form — no eviction
-    # writes at all — measured SLOWER: 20.2 vs 16.1 ms at N=8192; the
-    # loop is op-count-bound, and the threshold mask costs more ops
-    # than the write it saves.)
+    # ``g_per_write`` winners per pass: each subsequent extraction reuses
+    # the previous one's eviction materialization before the single
+    # combined write-back, so a pair costs ~8 full-width VPU tile-ops +
+    # 1 write vs ~6 + 1 per single-winner pass — ~25% fewer ops/winner
+    # and half the loop passes (g=2 is the shipped default; g=4 is the
+    # A/B probe variant — write-back savings shrink geometrically).
+    # (A read-only lexicographic-threshold form — no eviction writes at
+    # all — measured SLOWER: 20.2 vs 16.1 ms at N=8192; the loop is
+    # op-count-bound, and the threshold mask costs more ops than the
+    # write it saves.)
     lane_k = lax.broadcasted_iota(jnp.int32, (s_blk, k), dimension=1)
 
     def extract(running, j):
@@ -220,54 +222,44 @@ def _knn_gather_kernel(
             jnp.where(running == m, lane, n_pad), axis=1, keepdims=True
         )
         sel = lane == idx
-        g9 = lax.dot_general(
-            sel.astype(jnp.bfloat16), support,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [S_blk, 9] — one bf16 MXU pass
-        g = g9[:, 0:3] + g9[:, 3:6] + g9[:, 6:9]  # exact f32 coords
+        if gather:
+            g9 = lax.dot_general(
+                sel.astype(jnp.bfloat16), support,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [S_blk, 9] — one bf16 MXU pass
+            g = g9[:, 0:3] + g9[:, 3:6] + g9[:, 6:9]  # exact f32 coords
+        else:  # probe ablation: selection only, no coordinate gather
+            g = jnp.zeros((s_blk, 3), jnp.float32)
         oh = (lane_k == j).astype(jnp.float32)  # [S_blk, k]
         return jnp.where(sel, jnp.inf, running), idx, g, oh
 
     zero = jnp.zeros((s_blk, k), jnp.float32)
-    if pair:
-        def body(p, carry):
-            acc_i, acc_x, acc_y, acc_z = carry
-            r1, idx1, g1, oh1 = extract(dist_ref[:, :], 2 * p)
-            r2, idx2, g2, oh2 = extract(r1, 2 * p + 1)
-            dist_ref[:, :] = r2
-            return (
-                acc_i + idx1.astype(jnp.float32) * oh1
-                + idx2.astype(jnp.float32) * oh2,
-                acc_x + g1[:, 0:1] * oh1 + g2[:, 0:1] * oh2,
-                acc_y + g1[:, 1:2] * oh1 + g2[:, 1:2] * oh2,
-                acc_z + g1[:, 2:3] * oh1 + g2[:, 2:3] * oh2,
-            )
+    g_pw = max(1, min(g_per_write, k))
 
-        acc_i, acc_x, acc_y, acc_z = lax.fori_loop(
-            0, k // 2, body, (zero, zero, zero, zero)
-        )
-        if k % 2:  # odd k: one trailing single-winner pass
-            _, idx1, g1, oh1 = extract(dist_ref[:, :], k - 1)
-            acc_i = acc_i + idx1.astype(jnp.float32) * oh1
-            acc_x = acc_x + g1[:, 0:1] * oh1
-            acc_y = acc_y + g1[:, 1:2] * oh1
-            acc_z = acc_z + g1[:, 2:3] * oh1
-    else:  # single-winner reference form (the round-3 kernel), kept for A/B
-        def body(j, carry):
-            acc_i, acc_x, acc_y, acc_z = carry
-            r1, idx1, g1, oh1 = extract(dist_ref[:, :], j)
-            dist_ref[:, :] = r1
-            return (
-                acc_i + idx1.astype(jnp.float32) * oh1,
-                acc_x + g1[:, 0:1] * oh1,
-                acc_y + g1[:, 1:2] * oh1,
-                acc_z + g1[:, 2:3] * oh1,
-            )
+    def take(carry, running, j):
+        """Extract winner j from ``running``, accumulate into carry."""
+        acc_i, acc_x, acc_y, acc_z = carry
+        r, idx1, g1, oh1 = extract(running, j)
+        return (
+            acc_i + idx1.astype(jnp.float32) * oh1,
+            acc_x + g1[:, 0:1] * oh1,
+            acc_y + g1[:, 1:2] * oh1,
+            acc_z + g1[:, 2:3] * oh1,
+        ), r
 
-        acc_i, acc_x, acc_y, acc_z = lax.fori_loop(
-            0, k, body, (zero, zero, zero, zero)
-        )
+    def body(p, carry):
+        r = dist_ref[:, :]
+        for t in range(g_pw):  # in-register chain, one write-back
+            carry, r = take(carry, r, g_pw * p + t)
+        dist_ref[:, :] = r
+        return carry
+
+    carry = lax.fori_loop(0, k // g_pw, body, (zero, zero, zero, zero))
+    r = dist_ref[:, :]
+    for j in range(k - k % g_pw, k):  # remainder: no final write needed
+        carry, r = take(carry, r, j)
+    acc_i, acc_x, acc_y, acc_z = carry
     idx_ref[0, :, :] = acc_i.astype(jnp.int32)
     if relative:
         nx_ref[0, :, :] = acc_x - qx
@@ -280,7 +272,8 @@ def _knn_gather_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "relative", "pair", "interpret")
+    jax.jit,
+    static_argnames=("k", "relative", "pair", "gather", "interpret"),
 )
 def knn_gather(
     k: int,
@@ -288,7 +281,8 @@ def knn_gather(
     new_xyz: jax.Array,
     *,
     relative: bool = True,
-    pair: bool = True,
+    pair=True,
+    gather: bool = True,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """kNN + coordinate gather in one kernel.
@@ -296,6 +290,11 @@ def knn_gather(
     Returns (idx [B, S, k] int32, neighborhood [B, S, k, 3] float32 —
     center-relative when ``relative``). Equivalent to
     ``knn_point`` + ``index_points`` + subtraction.
+
+    ``pair`` sets the winners-per-write-back group: True=2 (default),
+    False=1, or an int (4 = the probe's quad variant). ``gather=False``
+    is a probe-only ablation that skips the coordinate gather (the
+    neighborhood output is then meaningless; idx stays exact).
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
@@ -310,10 +309,15 @@ def knn_gather(
     if n_pad != N:
         xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - N)))
 
+    # bool legacy spelling: True=paired, False=single; ints pass through
+    # (isinstance check first — `1 == True` would alias in a dict lookup)
+    g_pw = pair if not isinstance(pair, bool) else (2 if pair else 1)
     out_spec = pl.BlockSpec((1, s_blk, k), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, S, k), jnp.float32)
     idx, nx, ny, nz = pl.pallas_call(
-        functools.partial(_knn_gather_kernel, k, N, relative, pair),
+        functools.partial(
+            _knn_gather_kernel, k, N, relative, int(g_pw), gather
+        ),
         grid=(B, S // s_blk),
         in_specs=[
             pl.BlockSpec((1, s_blk, 3), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
@@ -533,12 +537,14 @@ def _ball_query_kernel(
     q_ref: [1, S_blk, 3]; xyz_ref: [1, 3, Npad];
     idx/nx/ny/nz_ref: [1, S_blk, nsample]; dist_ref: [S_blk, Npad]
     scratch holds the "avail" table: each in-ball lane stores its own
-    lane index as f32, others hold an +inf sentinel. The table is
-    written ONCE; each pass takes the min over entries greater than the
-    carried last winner (ascending-index extraction, the reference's
-    order) — no per-pass eviction write-back (was the ~4-tiles/pass
-    formulation; before that, ~9 with the 0/1 mask — both
-    measured-bound on VPU throughput at the PointNeXt stage-1 shape).
+    lane index as f32, others hold an +inf sentinel. Ascending-index
+    winners then fall out as successive minima of the table; how each
+    variant advances past extracted winners (eviction write-backs vs a
+    read-only threshold) is per-``mode`` — see the three-variant
+    comment block in the body. The shipped default is ``paired``
+    (same-session v5e chain probe at the PointNeXt-S stage-1 anchor
+    shape, B128 N1024 S512 r0.15 ns32 F32: paired 10.71 ms vs evict
+    12.63 vs threshold 12.14 — docs/PROFILE_r05.md).
     """
     s_blk = q_ref.shape[1]
     n_pad = xyz_ref.shape[2]
@@ -665,6 +671,18 @@ def _ball_query_kernel(
         nz_ref[0, :, :] = acc_z
 
 
+_BALL_MODES = ("paired", "evict", "threshold")
+
+
+def _check_ball_mode(mode: str) -> None:
+    # the kernel's else-branch is the evict variant; an unknown string
+    # must not silently run it
+    if mode not in _BALL_MODES:
+        raise ValueError(
+            f"ball query mode {mode!r} not in {_BALL_MODES}"
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nsample", "radius", "relative", "mode", "interpret"),
@@ -685,6 +703,7 @@ def ball_query_gather(
     float32 — center-relative when ``relative``). Matches
     ``ops.query_ball_point`` + ``index_points`` + subtraction.
     """
+    _check_ball_mode(mode)
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     # largest power-of-two tile dividing S: a small S must not fall to
@@ -749,6 +768,7 @@ def ball_query_gather_feats(
     ``query_ball_point`` + two ``index_points`` calls — the XLA feature
     gather alone costs more than the whole kernel at PointNeXt shapes.
     """
+    _check_ball_mode(mode)
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     F = feats.shape[2]

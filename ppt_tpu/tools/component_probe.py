@@ -123,6 +123,30 @@ def probe_knn_single(iters: int, npoints: int = 1024) -> float:
     return probe_knn(iters, npoints, pair=False)
 
 
+def probe_knn_quad(iters: int, npoints: int = 1024) -> float:
+    """Four winners per eviction write-back (A/B vs the paired default:
+    the write-back saving shrinks geometrically past g=2)."""
+    return probe_knn(iters, npoints, pair=4)
+
+
+def probe_knn_nogather(iters: int, npoints: int = 1024) -> float:
+    """Selection loop only — the one-hot MXU coordinate gather ablated.
+    Difference to ``knn`` = what the per-winner dot_general costs after
+    overlap with the VPU extraction chain."""
+    from ppt_tpu.kernels.group import knn_gather
+
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.rand(32, npoints, 3).astype(np.float32))
+    ctr = jnp.asarray(rng.rand(32, 512, 3).astype(np.float32))
+    nil = _nil_ms(xyz, iters)
+
+    def f(x, c):
+        idx, _ = knn_gather(32, x + c * 1e-20, ctr, gather=False)
+        return jnp.sum(idx.astype(jnp.float32)) * 1e-12
+
+    return _chain_time(f, xyz, iters, nil)
+
+
 def probe_ball(iters: int, npoints: int = 1024, mode: str = "paired") -> float:
     """ball_query_gather_feats at the PointNeXt-S stage-1 anchor shape
     (B128, N=--npoints, S=512, r=0.15, nsample=32, F=32 bf16)."""
@@ -297,6 +321,8 @@ PROBES = {
     "fps": probe_fps,
     "knn": probe_knn,
     "knn_single": probe_knn_single,
+    "knn_quad": probe_knn_quad,
+    "knn_nogather": probe_knn_nogather,
     "knn_xla": probe_knn_xla,
     "ball": probe_ball,
     "ball_evict": probe_ball_evict,
@@ -310,8 +336,8 @@ PROBES = {
 
 # probes whose cost depends on the raw point count (--npoints)
 _NPOINT_PROBES = (
-    "grouping", "fps", "knn", "knn_single", "knn_xla",
-    "ball", "ball_evict", "ball_thresh",
+    "grouping", "fps", "knn", "knn_single", "knn_quad", "knn_nogather",
+    "knn_xla", "ball", "ball_evict", "ball_thresh",
 )
 
 

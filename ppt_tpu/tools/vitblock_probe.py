@@ -16,6 +16,13 @@ each, so every remaining millisecond is attributed to a component:
                 augmented with a ones lane): candidate optimization
   rows2       — 2 clouds per grid instance (16 instances of 2x work):
                 bounds the per-instance overhead
+  qk_packed2  — two hd=64 heads per 128-lane contraction (VERDICT r4
+                next #6): block-diagonal K/V pack the QK contraction to
+                depth 128 and the PV output to 128 lanes — attacks the
+                +0.8 ms "half-MXU" penalty priced into the 5.2 ms
+                envelope. Exact math (the off-diagonal blocks are
+                zeros); costs 2x the FLOPs, so it wins only if hd=64
+                runs the MXU at materially WORSE than 50%
 
 Timing: K-iteration lax.scan chain with scalar value fetch (CLAUDE.md
 timing-truth), net of measured dispatch overhead. One TPU process at a
@@ -76,7 +83,49 @@ def _variant_kernel(
             preferred_element_type=jnp.float32,
         ).astype(dtype)
         outs = []
-        for h in range(heads):
+        if mode == "qk_packed2":
+            lp = qkv.shape[0]
+            z = jnp.zeros((lp, d), dtype)
+            lane2 = lax.broadcasted_iota(jnp.int32, (lp, 2 * lp), 1)
+            lane_mod = jnp.where(lane2 < lp, lane2, lane2 - lp)
+            valid2 = lane_mod < l_valid
+            row1 = lax.broadcasted_iota(jnp.int32, (lp, d), 0)
+            for hp in range(heads // 2):
+                h1, h2 = 2 * hp, 2 * hp + 1
+                q12 = qkv[:, h1 * d : (h2 + 1) * d]  # [Lp, 2d] contiguous
+                k1 = qkv[:, c + h1 * d : c + (h1 + 1) * d]
+                k2 = qkv[:, c + h2 * d : c + (h2 + 1) * d]
+                v1 = qkv[:, 2 * c + h1 * d : 2 * c + (h1 + 1) * d]
+                v2 = qkv[:, 2 * c + h2 * d : 2 * c + (h2 + 1) * d]
+                v1 = jnp.where(row1 < l_valid, v1, 0)
+                v2 = jnp.where(row1 < l_valid, v2, 0)
+                # block-diagonal pack: [2Lp, 2d]; contraction depth 2d=128
+                k_bd = jnp.concatenate(
+                    [jnp.concatenate([k1, z], 1),
+                     jnp.concatenate([z, k2], 1)], axis=0
+                )
+                s2 = lax.dot_general(
+                    q12, k_bd, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale  # [Lp, 2Lp] = [s_h1 | s_h2]
+                s2 = jnp.where(valid2, s2, -jnp.inf)
+                sA, sB = s2[:, :lp], s2[:, lp:]
+                pA = jnp.exp(sA - jnp.max(sA, axis=1, keepdims=True))
+                pB = jnp.exp(sB - jnp.max(sB, axis=1, keepdims=True))
+                dA = jnp.sum(pA, axis=1, keepdims=True)
+                dB = jnp.sum(pB, axis=1, keepdims=True)
+                p2 = jnp.concatenate([pA, pB], axis=1).astype(dtype)
+                v_bd = jnp.concatenate(
+                    [jnp.concatenate([v1, z], 1),
+                     jnp.concatenate([z, v2], 1)], axis=0
+                )  # [2Lp, 2d]; PV output fills 128 lanes
+                acc2 = lax.dot_general(
+                    p2, v_bd, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [Lp, 2d] = [o_h1 | o_h2]
+                outs.append((acc2[:, :d] / dA).astype(dtype))
+                outs.append((acc2[:, d:] / dB).astype(dtype))
+        for h in range(heads if mode != "qk_packed2" else 0):
             q = qkv[:, h * d : (h + 1) * d]
             k = qkv[:, c + h * d : c + (h + 1) * d]
             v = qkv[:, 2 * c + h * d : 2 * c + (h + 1) * d]

@@ -250,3 +250,55 @@ def test_ogb_graph_gate_is_explicit():
 
     with pytest.raises(ImportError, match="ogb"):
         load_ogb_graphs("molhiv")
+
+
+class _Frame:
+    """3-atom stand-in for the atom3d pandas frame: supports the two
+    accesses load_atom_psr makes — ``frame[["x","y","z"]].to_numpy()``
+    and ``list(frame["element"])``."""
+
+    def __init__(self, xyz, elements):
+        self._xyz = np.asarray(xyz, np.float32)
+        self._elements = list(elements)
+
+    def __getitem__(self, key):
+        if key == "element":
+            return self._elements
+        assert key == ["x", "y", "z"], key
+        return self
+
+    def to_numpy(self):
+        return self._xyz
+
+
+def test_load_atom_psr_transform_pipeline():
+    """The PSR loader end-to-end minus only the LMDB read (VERDICT r4
+    item 7): two injected atom3d-shaped records flow through the full
+    Atom2Points pipeline (psr.py:17-37) — coordinates passthrough,
+    18-way one-hot with unknown->last, gdt_ts float labels."""
+    from ppt_tpu.data.molecules import PROT_ATOMS, load_atom_psr
+
+    items = [
+        {
+            "atoms": _Frame([[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+                            ["C", "N", "XX"]),
+            "scores": {"gdt_ts": 0.41},
+        },
+        {
+            "atoms": _Frame([[2, 2, 2], [3, 3, 3]], ["ZN", "H"]),
+            "scores": {"gdt_ts": 0.92},
+        },
+    ]
+    out = load_atom_psr("/nonexistent", "val", items=items)
+    assert len(out) == 2
+    assert out[0]["pos"].shape == (3, 3)
+    assert out[0]["features"].shape == (3, 18)
+    assert out[0]["features"][1, PROT_ATOMS.index("N")] == 1
+    assert out[0]["features"][2, -1] == 1  # unknown -> last bucket
+    assert np.isclose(out[0]["label"], 0.41)
+    assert out[1]["pos"].shape == (2, 3)
+    assert out[1]["features"][0, PROT_ATOMS.index("ZN")] == 1
+    assert np.isclose(out[1]["label"], 0.92)
+    # without injection the atom3d gate must stay explicit
+    with pytest.raises(ImportError, match="atom3d"):
+        load_atom_psr("/nonexistent", "val")
