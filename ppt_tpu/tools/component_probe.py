@@ -296,6 +296,51 @@ def probe_vit12(iters: int) -> float:
     return _chain_time(f, x, iters, nil)
 
 
+def probe_knn_hybrid(iters: int, npoints: int = 1024) -> float:
+    """idx-only Pallas selection + XLA take_along_axis gather: the
+    in-kernel per-winner one-hot matmul measured ~1 ms of the 2.06 ms
+    kernel at N=1024 (serialized 9-lane MXU calls) — this prices the
+    alternative of gathering outside the kernel."""
+    from ppt_tpu import ops
+    from ppt_tpu.kernels.group import knn_gather
+
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.rand(32, npoints, 3).astype(np.float32))
+    ctr = jnp.asarray(rng.rand(32, 512, 3).astype(np.float32))
+    nil = _nil_ms(xyz, iters)
+
+    def f(x, c):
+        idx, _ = knn_gather(32, x + c * 1e-20, ctr, gather=False)
+        nb = ops.index_points(x, idx) - ctr[:, :, None, :]
+        return jnp.sum(nb.astype(jnp.float32)) * 1e-9 + jnp.sum(
+            idx.astype(jnp.float32)
+        ) * 1e-12
+
+    return _chain_time(f, xyz, iters, nil)
+
+
+def probe_knn_hybrid_quad(iters: int, npoints: int = 1024) -> float:
+    """Hybrid with 4 winners/write-back: with the gather out of the
+    loop the extraction is pure VPU, where the write-back saving is a
+    larger share (quad beat paired at N=8192 in the full kernel too)."""
+    from ppt_tpu import ops
+    from ppt_tpu.kernels.group import knn_gather
+
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.rand(32, npoints, 3).astype(np.float32))
+    ctr = jnp.asarray(rng.rand(32, 512, 3).astype(np.float32))
+    nil = _nil_ms(xyz, iters)
+
+    def f(x, c):
+        idx, _ = knn_gather(32, x + c * 1e-20, ctr, gather=False, pair=4)
+        nb = ops.index_points(x, idx) - ctr[:, :, None, :]
+        return jnp.sum(nb.astype(jnp.float32)) * 1e-9 + jnp.sum(
+            idx.astype(jnp.float32)
+        ) * 1e-12
+
+    return _chain_time(f, xyz, iters, nil)
+
+
 def probe_knn_xla(iters: int, npoints: int = 1024) -> float:
     """XLA ``ops.knn_point`` + gather (the kernel-off fallback path) at
     the same shape as ``probe_knn`` — the fused/XLA crossover check."""
@@ -323,6 +368,8 @@ PROBES = {
     "knn_single": probe_knn_single,
     "knn_quad": probe_knn_quad,
     "knn_nogather": probe_knn_nogather,
+    "knn_hybrid": probe_knn_hybrid,
+    "knn_hybrid_quad": probe_knn_hybrid_quad,
     "knn_xla": probe_knn_xla,
     "ball": probe_ball,
     "ball_evict": probe_ball_evict,
@@ -337,7 +384,8 @@ PROBES = {
 # probes whose cost depends on the raw point count (--npoints)
 _NPOINT_PROBES = (
     "grouping", "fps", "knn", "knn_single", "knn_quad", "knn_nogather",
-    "knn_xla", "ball", "ball_evict", "ball_thresh",
+    "knn_hybrid", "knn_hybrid_quad", "knn_xla",
+    "ball", "ball_evict", "ball_thresh",
 )
 
 
