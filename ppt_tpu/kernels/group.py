@@ -222,14 +222,14 @@ def _knn_gather_kernel(
             jnp.where(running == m, lane, n_pad), axis=1, keepdims=True
         )
         sel = lane == idx
-        if gather:
+        if gather == "fused":
             g9 = lax.dot_general(
                 sel.astype(jnp.bfloat16), support,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [S_blk, 9] — one bf16 MXU pass
             g = g9[:, 0:3] + g9[:, 3:6] + g9[:, 6:9]  # exact f32 coords
-        else:  # probe ablation: selection only, no coordinate gather
+        else:  # 'stacked' gathers after the loop; 'none' is a probe
             g = jnp.zeros((s_blk, 3), jnp.float32)
         oh = (lane_k == j).astype(jnp.float32)  # [S_blk, k]
         return jnp.where(sel, jnp.inf, running), idx, g, oh
@@ -260,6 +260,46 @@ def _knn_gather_kernel(
     for j in range(k - k % g_pw, k):  # remainder: no final write needed
         carry, r = take(carry, r, j)
     acc_i, acc_x, acc_y, acc_z = carry
+
+    if gather == "stacked":
+        # Post-loop grouped gather: the per-winner in-loop one-hot
+        # matmul is latency-bound at small N (k serialized 9-lane MXU
+        # calls: ~1.0 of the 2.06 ms kernel at N=1024) and output-lane
+        # bound at large N. Re-deriving the one-hots from the
+        # accumulated winner lanes and issuing ONE [Gw*S_blk, Npad] @
+        # [Npad, 9] matmul per group of Gw winners batches the MXU work
+        # the extraction loop cannot overlap. Exact: lane ids < 2^24
+        # compare exactly in f32, and the bf16 3-part support
+        # reconstruction is unchanged.
+        gw = 8 if n_pad <= 2048 else 4  # one-hot block: <=4.2 MB bf16
+        lane_f = lane.astype(jnp.float32)
+        for g0 in range(0, k, gw):
+            gn = min(gw, k - g0)
+            # per-winner one-hot rows stacked on sublanes (a
+            # transpose-free construction: Mosaic cannot relayout
+            # [S_blk, gn] -> [gn*S_blk, 1], but broadcast-compare +
+            # sublane concat lowers fine)
+            oh = jnp.concatenate(
+                [
+                    (lane_f == acc_i[:, g0 + w : g0 + w + 1]).astype(
+                        jnp.bfloat16
+                    )
+                    for w in range(gn)
+                ],
+                axis=0,
+            )  # [gn*S_blk, Npad]
+            g9 = lax.dot_general(
+                oh, support, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [gn*S_blk, 9]
+            g3 = g9[:, 0:3] + g9[:, 3:6] + g9[:, 6:9]
+            for w in range(gn):
+                gw3 = g3[w * s_blk : (w + 1) * s_blk, :]
+                ohk = (lane_k == (g0 + w)).astype(jnp.float32)
+                acc_x = acc_x + gw3[:, 0:1] * ohk
+                acc_y = acc_y + gw3[:, 1:2] * ohk
+                acc_z = acc_z + gw3[:, 2:3] * ohk
+
     idx_ref[0, :, :] = acc_i.astype(jnp.int32)
     if relative:
         nx_ref[0, :, :] = acc_x - qx
@@ -281,8 +321,8 @@ def knn_gather(
     new_xyz: jax.Array,
     *,
     relative: bool = True,
-    pair=True,
-    gather: bool = True,
+    pair="auto",
+    gather="fused",
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """kNN + coordinate gather in one kernel.
@@ -291,10 +331,20 @@ def knn_gather(
     center-relative when ``relative``). Equivalent to
     ``knn_point`` + ``index_points`` + subtraction.
 
-    ``pair`` sets the winners-per-write-back group: True=2 (default),
-    False=1, or an int (4 = the probe's quad variant). ``gather=False``
-    is a probe-only ablation that skips the coordinate gather (the
-    neighborhood output is then meaningless; idx stays exact).
+    ``pair`` sets the winners-per-write-back group: 'auto' (default)
+    picks 4 at N>=4096 else 2 — same-session v5e A/B at N=8192: quad
+    12.42 vs paired 13.86 ms (the write-back saving matters more the
+    wider the tile), while at N=1024 quad LOST (2.44 vs 2.06, register
+    pressure) — True=2, False=1, or an explicit int. ``gather``:
+    'fused'/True (default) gathers per winner inside the loop;
+    'stacked' collects winner coordinates after the loop in batched
+    one-hot matmuls — measured SLOWER both at N=1024 (2.27/2.04 vs
+    2.07) and N=8192 (15.0/14.8 vs 13.95): rebuilding one-hots from the
+    winner lanes duplicates the compare work the loop's eviction
+    already does, costing more than the batched MXU issue saves; kept
+    as the documented negative (docs/PROFILE_r05.md §3). 'none'/False
+    is a probe-only ablation that skips the gather (neighborhood output
+    meaningless; idx exact).
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
@@ -311,7 +361,14 @@ def knn_gather(
 
     # bool legacy spelling: True=paired, False=single; ints pass through
     # (isinstance check first — `1 == True` would alias in a dict lookup)
-    g_pw = pair if not isinstance(pair, bool) else (2 if pair else 1)
+    if pair == "auto":
+        g_pw = 4 if n_pad >= 4096 else 2
+    else:
+        g_pw = pair if not isinstance(pair, bool) else (2 if pair else 1)
+    if isinstance(gather, bool):
+        gather = "fused" if gather else "none"
+    if gather not in ("stacked", "fused", "none"):
+        raise ValueError(f"gather mode {gather!r}")
     out_spec = pl.BlockSpec((1, s_blk, k), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, S, k), jnp.float32)
     idx, nx, ny, nz = pl.pallas_call(

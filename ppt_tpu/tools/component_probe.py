@@ -100,7 +100,9 @@ def probe_fps(iters: int, npoints: int = 1024) -> float:
     return _chain_time(f, xyz, iters, nil)
 
 
-def probe_knn(iters: int, npoints: int = 1024, pair: bool = True) -> float:
+def probe_knn(
+    iters: int, npoints: int = 1024, pair=True, gather="stacked"
+) -> float:
     """knn_gather alone (k=32, 512 centers) at B32, ``--npoints``."""
     from ppt_tpu.kernels.group import knn_gather
 
@@ -110,12 +112,22 @@ def probe_knn(iters: int, npoints: int = 1024, pair: bool = True) -> float:
     nil = _nil_ms(xyz, iters)
 
     def f(x, c):
-        idx, nb = knn_gather(32, x + c * 1e-20, ctr, pair=pair)
+        idx, nb = knn_gather(32, x + c * 1e-20, ctr, pair=pair, gather=gather)
         return jnp.sum(nb.astype(jnp.float32)) * 1e-9 + jnp.sum(
             idx.astype(jnp.float32)
         ) * 1e-12
 
     return _chain_time(f, xyz, iters, nil)
+
+
+def probe_knn_fusedgather(iters: int, npoints: int = 1024) -> float:
+    """The pre-r5 per-winner in-loop one-hot gather (A/B vs stacked)."""
+    return probe_knn(iters, npoints, gather="fused")
+
+
+def probe_knn_stacked_quad(iters: int, npoints: int = 1024) -> float:
+    """Stacked gather + 4 winners/write-back (the large-N variant)."""
+    return probe_knn(iters, npoints, pair=4, gather="stacked")
 
 
 def probe_knn_single(iters: int, npoints: int = 1024) -> float:
@@ -370,6 +382,8 @@ PROBES = {
     "knn_nogather": probe_knn_nogather,
     "knn_hybrid": probe_knn_hybrid,
     "knn_hybrid_quad": probe_knn_hybrid_quad,
+    "knn_fusedgather": probe_knn_fusedgather,
+    "knn_stacked_quad": probe_knn_stacked_quad,
     "knn_xla": probe_knn_xla,
     "ball": probe_ball,
     "ball_evict": probe_ball_evict,
@@ -384,8 +398,8 @@ PROBES = {
 # probes whose cost depends on the raw point count (--npoints)
 _NPOINT_PROBES = (
     "grouping", "fps", "knn", "knn_single", "knn_quad", "knn_nogather",
-    "knn_hybrid", "knn_hybrid_quad", "knn_xla",
-    "ball", "ball_evict", "ball_thresh",
+    "knn_hybrid", "knn_hybrid_quad", "knn_fusedgather", "knn_stacked_quad",
+    "knn_xla", "ball", "ball_evict", "ball_thresh",
 )
 
 

@@ -110,6 +110,29 @@ def main() -> int:
     err = float(np.max(np.abs(np.asarray(nbr_k) - want_nbr)))
     check("knn_gather.nbr", err < 1e-5, f"max abs err {err:.2e}")
 
+    # --- knn_gather at the reference-native N=8192 (pair='auto' -> quad
+    # write-back; narrower s_blk VMEM tiles) ---
+    xyz8 = jnp.asarray(rng.rand(4, 8192, 3).astype(np.float32))
+    cen8 = xyz8[:, :G, :]
+    idx8, nbr8 = jax.jit(lambda x, c: knn_gather(K, x, c))(xyz8, cen8)
+    want8 = np.asarray(jax.jit(
+        lambda x, c: ops.knn_point(K, x, c)
+    )(xyz8, cen8))
+    same_sets = np.array_equal(
+        np.sort(np.asarray(idx8), -1), np.sort(want8, -1)
+    )
+    check("knn_gather.idx_n8192", same_sets,
+          "exact" if same_sets else
+          f"{(np.sort(np.asarray(idx8), -1) != np.sort(want8, -1)).sum()}"
+          " set mismatches")
+    want_n8 = np.asarray(
+        jax.jit(lambda x, c, i: ops.index_points(x, i) - c[:, :, None, :])(
+            xyz8, cen8, idx8
+        )
+    )
+    err8 = float(np.max(np.abs(np.asarray(nbr8) - want_n8)))
+    check("knn_gather.nbr_n8192", err8 < 1e-5, f"max abs err {err8:.2e}")
+
     # --- ball_query_gather vs ops.query_ball_point (exact indices) ---
     radius = 0.2
     idx_b, grp_b = jax.jit(

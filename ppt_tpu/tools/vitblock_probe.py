@@ -204,10 +204,11 @@ def _variant_kernel(
         o_ref[r] = x1 + y2 * dp_ref[b * rows + r, 1].astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "rows"))
+@functools.partial(jax.jit, static_argnames=("mode", "rows", "interpret"))
 def _variant_pallas(
     x, pos, dp, ln1s, ln1b, wqkv, wproj, bproj, ln2s, ln2b,
-    wfc1, bfc1, wfc2, bfc2, *, mode: str, rows: int = 1
+    wfc1, bfc1, wfc2, bfc2, *, mode: str, rows: int = 1,
+    interpret: bool = False,
 ):
     Bx, Lx, Cx = x.shape
     d = Cx // HEADS
@@ -240,6 +241,7 @@ def _variant_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024
         ),
+        interpret=interpret,
     )(
         x, pos, dp,
         ln1s[None], ln1b[None], wqkv, wproj, bproj[None],
