@@ -360,7 +360,8 @@ class TestExtractionVariants:
     (duplicated points) and empty neighborhoods."""
 
     @pytest.mark.parametrize("K", [8, 7])  # even (paired) + odd (tail pass)
-    def test_knn_pair_matches_single(self, rng, K):
+    @pytest.mark.parametrize("pair", [True, 4])  # r5: quad write-back
+    def test_knn_pair_matches_single(self, rng, K, pair):
         from ppt_tpu.kernels.group import knn_gather
 
         B, N, S = 2, 192, 16
@@ -368,13 +369,48 @@ class TestExtractionVariants:
         xyz[:, 50:60] = xyz[:, 40:50]  # duplicated points: exact ties
         q = xyz[:, :S].copy()
         idx_p, nb_p = knn_gather(
-            K, jnp.asarray(xyz), jnp.asarray(q), pair=True, interpret=True
+            K, jnp.asarray(xyz), jnp.asarray(q), pair=pair, interpret=True
         )
         idx_s, nb_s = knn_gather(
             K, jnp.asarray(xyz), jnp.asarray(q), pair=False, interpret=True
         )
         np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_s))
         np.testing.assert_array_equal(np.asarray(nb_p), np.asarray(nb_s))
+
+    @pytest.mark.parametrize("pair", [True, 4])
+    def test_knn_stacked_gather_matches_fused(self, rng, pair):
+        from ppt_tpu.kernels.group import knn_gather
+
+        B, N, S, K = 2, 192, 16, 8
+        xyz = rng.rand(B, N, 3).astype(np.float32)
+        xyz[:, 50:60] = xyz[:, 40:50]
+        q = xyz[:, :S].copy()
+        idx_f, nb_f = knn_gather(
+            K, jnp.asarray(xyz), jnp.asarray(q), pair=pair,
+            gather="fused", interpret=True,
+        )
+        idx_s, nb_s = knn_gather(
+            K, jnp.asarray(xyz), jnp.asarray(q), pair=pair,
+            gather="stacked", interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_s))
+        np.testing.assert_array_equal(np.asarray(nb_f), np.asarray(nb_s))
+
+    def test_knn_invalid_gather_mode_raises(self, rng):
+        from ppt_tpu.kernels.group import knn_gather
+
+        xyz = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+        with pytest.raises(ValueError, match="gather mode"):
+            knn_gather(4, xyz, xyz[:, :8], gather="fussed", interpret=True)
+
+    def test_ball_invalid_mode_raises(self, rng):
+        from ppt_tpu.kernels.group import ball_query_gather
+
+        xyz = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+        with pytest.raises(ValueError, match="ball query mode"):
+            ball_query_gather(
+                0.2, 4, xyz, xyz[:, :8], mode="pared", interpret=True
+            )
 
     @pytest.mark.parametrize("K", [8, 5])
     @pytest.mark.parametrize("mode", ["paired", "threshold"])
