@@ -16,10 +16,12 @@ What is portable without their third-party stacks:
     ImportError (which build_dataset converts to the synthetic fallback
     with a warning).
 
-The OGB graph sets (molhiv/molpcba/pcqm4m) are a *graph-transformer*
-modality: their pipeline (SMILES -> molecular graphs, SVD positional
-encodings) requires ogb + rdkit, neither shippable here; loaders raise
-with the dependency name so the gate is explicit rather than silent.
+The OGB graph sets (molhiv/molpcba/pcqm4m*) are a *graph-transformer*
+modality; their full pipeline lives in :mod:`ppt_tpu.data.graphs` —
+every transform (SVD positional encodings, Floyd–Warshall structural
+features, pad-collate) is pure numpy and runs dependency-free via
+record injection there; only the raw readers gate on ogb/rdkit.
+:func:`load_ogb_graphs` is the entry point.
 """
 
 from __future__ import annotations
@@ -64,7 +66,7 @@ def load_atom_psr(data_dir: str, split: str, items=None):
     atom3d-shaped records (``{"atoms": frame, "scores": {"gdt_ts": f}}``
     where ``frame[["x","y","z"]].to_numpy()`` / ``frame["element"]``
     work) — the whole transform pipeline downstream of LMDB is then
-    exercised dependency-free (tests/test_molecules.py fixtures)."""
+    exercised dependency-free (tests/test_scenes.py fixtures)."""
     assert split in ("train", "val", "test")
     if items is None:  # pragma: no cover - env dependent
         try:
@@ -91,11 +93,12 @@ def load_atom_psr(data_dir: str, split: str, items=None):
 
 
 def load_ogb_graphs(name: str, *args, **kwargs):
-    """molhiv / molpcba / pcqm4m(v2): OGB graph-transformer datasets.
-    Their pipeline (SMILES -> graphs + SVD encodings,
-    ``openpoints/dataset/graph_dataset/``) requires ogb + rdkit."""
-    raise ImportError(
-        f"{name} is an OGB molecular-GRAPH dataset; its pipeline needs "
-        "the 'ogb' and 'rdkit' packages, not available in this "
-        "environment (see ppt_tpu/data/molecules.py docstring)"
-    )
+    """molhiv / molpcba / pcqm4m(v2): OGB graph-transformer datasets
+    (``openpoints/dataset/graph_dataset/`` + per-set ``data.py``).
+    Delegates to :class:`ppt_tpu.data.graphs.OGBGraphDataset` — the
+    transform pipeline is dependency-free (inject ``records=``); only
+    the raw OGB readers gate on the absent ogb/rdkit packages and raise
+    ImportError naming them."""
+    from ppt_tpu.data.graphs import OGBGraphDataset
+
+    return OGBGraphDataset(name, *args, **kwargs)

@@ -90,6 +90,12 @@ def audit():
     results["n8192_fwd_per_cloud"] = fl8 / B8
     print(f"n8192 fwd: {fl8 / B8 / 1e9:.2f} GFLOP/cloud")
 
+    # --- train step at the reference-native N=8192 ---------------------
+    labels8 = jnp.asarray(rng.randint(0, 40, (B8,)))
+    fl8t = _flops(step.lower(state, {"pc": pc8, "label": labels8}, prompts))
+    results["n8192_train_per_cloud"] = fl8t / B8
+    print(f"n8192 train: {fl8t / B8 / 1e9:.2f} GFLOP/cloud")
+
     # --- anchor: PointNeXt-S inference ----------------------------------
     from ppt_tpu.nn import PointNext
 
