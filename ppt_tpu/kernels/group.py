@@ -163,7 +163,7 @@ def fps_batched(
 
 
 def _knn_gather_kernel(
-    k: int, n_valid: int, relative: bool, g_per_write: int, gather: bool,
+    k: int, n_valid: int, relative: bool, g_per_write: int, gather: str,
     q_ref, xyz_ref, parts_ref, idx_ref, nx_ref, ny_ref, nz_ref, dist_ref,
 ):
     """q_ref: [1, S_blk, 3]; xyz_ref: [1, 3, Npad]; parts_ref:
@@ -271,7 +271,14 @@ def _knn_gather_kernel(
         # the extraction loop cannot overlap. Exact: lane ids < 2^24
         # compare exactly in f32, and the bf16 3-part support
         # reconstruction is unchanged.
-        gw = 8 if n_pad <= 2048 else 4  # one-hot block: <=4.2 MB bf16
+        # one-hot block gw*s_blk*n_pad bf16 capped at 4.2 MB. gw is
+        # keyed on the PRODUCT s_blk*n_pad (n_pad alone let
+        # s_blk=256 x n_pad=2048 build an 8.4 MB block that blew the
+        # 16 MB scoped-VMEM stack on-chip); the wrapper clamps stacked
+        # s_blk so the product never exceeds 512 Ki — the footprint of
+        # the two on-chip-verified configs (256 Ki/gw=8 at N=1024,
+        # 512 Ki/gw=4 at N=8192).
+        gw = 8 if s_blk * n_pad <= 256 * 1024 else 4
         lane_f = lane.astype(jnp.float32)
         for g0 in range(0, k, gw):
             gn = min(gw, k - g0)
@@ -309,6 +316,17 @@ def _knn_gather_kernel(
         nx_ref[0, :, :] = acc_x
         ny_ref[0, :, :] = acc_y
         nz_ref[0, :, :] = acc_z
+
+
+def _stacked_s_blk(s_blk: int, n_pad: int) -> int:
+    """Query-tile clamp for ``gather='stacked'``: the post-loop gather
+    keeps k/gw unrolled groups' intermediates on the Mosaic stack on
+    TOP of the extraction loop's — at s_blk=256 x n_pad=2048 that
+    measured 16.2–16.4 MB against the 16 MB scoped-VMEM cap (at any
+    gw). Halving the tile returns every [s_blk, n_pad] buffer to the
+    footprint of the on-chip-verified configs (s_blk*n_pad of 256 Ki
+    with gw=8, 512 Ki with gw=4)."""
+    return 128 if (s_blk > 128 and s_blk * n_pad > 256 * 1024) else s_blk
 
 
 @functools.partial(
@@ -362,13 +380,17 @@ def knn_gather(
     # bool legacy spelling: True=paired, False=single; ints pass through
     # (isinstance check first — `1 == True` would alias in a dict lookup)
     if pair == "auto":
-        g_pw = 4 if n_pad >= 4096 else 2
+        # keyed on the caller's N (as documented), not the padded width:
+        # N in [3969, 4095] pads to 4096 but stays on the paired cadence
+        g_pw = 4 if N >= 4096 else 2
     else:
         g_pw = pair if not isinstance(pair, bool) else (2 if pair else 1)
     if isinstance(gather, bool):
         gather = "fused" if gather else "none"
     if gather not in ("stacked", "fused", "none"):
         raise ValueError(f"gather mode {gather!r}")
+    if gather == "stacked":
+        s_blk = _stacked_s_blk(s_blk, n_pad)
     out_spec = pl.BlockSpec((1, s_blk, k), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, S, k), jnp.float32)
     idx, nx, ny, nz = pl.pallas_call(

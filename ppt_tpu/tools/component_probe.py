@@ -101,9 +101,12 @@ def probe_fps(iters: int, npoints: int = 1024) -> float:
 
 
 def probe_knn(
-    iters: int, npoints: int = 1024, pair=True, gather="stacked"
+    iters: int, npoints: int = 1024, pair="auto", gather="fused"
 ) -> float:
-    """knn_gather alone (k=32, 512 centers) at B32, ``--npoints``."""
+    """knn_gather alone (k=32, 512 centers) at B32, ``--npoints`` — at
+    the SHIPPED defaults (pair='auto' N-adaptive cadence, fused in-loop
+    gather), so the canonical 'knn' row always times what production
+    runs; variants below pin explicit configs for A/Bs."""
     from ppt_tpu.kernels.group import knn_gather
 
     rng = np.random.RandomState(0)
@@ -121,24 +124,33 @@ def probe_knn(
 
 
 def probe_knn_fusedgather(iters: int, npoints: int = 1024) -> float:
-    """The pre-r5 per-winner in-loop one-hot gather (A/B vs stacked)."""
-    return probe_knn(iters, npoints, gather="fused")
+    """Paired cadence + in-loop gather pinned — the pre-r5 shipped
+    config (A/B vs the N-adaptive 'knn' default and vs 'knn_stacked')."""
+    return probe_knn(iters, npoints, pair=True, gather="fused")
+
+
+def probe_knn_stacked(iters: int, npoints: int = 1024) -> float:
+    """Post-loop batched one-hot gather, paired cadence — the r5
+    alternative that measured SLOWER at both benched N (documented
+    negative, docs/PROFILE_r05.md §3)."""
+    return probe_knn(iters, npoints, pair=True, gather="stacked")
 
 
 def probe_knn_stacked_quad(iters: int, npoints: int = 1024) -> float:
-    """Stacked gather + 4 winners/write-back (the large-N variant)."""
+    """Stacked gather + 4 winners/write-back."""
     return probe_knn(iters, npoints, pair=4, gather="stacked")
 
 
 def probe_knn_single(iters: int, npoints: int = 1024) -> float:
     """The round-3 single-winner extraction loop (A/B reference)."""
-    return probe_knn(iters, npoints, pair=False)
+    return probe_knn(iters, npoints, pair=False, gather="fused")
 
 
 def probe_knn_quad(iters: int, npoints: int = 1024) -> float:
-    """Four winners per eviction write-back (A/B vs the paired default:
-    the write-back saving shrinks geometrically past g=2)."""
-    return probe_knn(iters, npoints, pair=4)
+    """Four winners per eviction write-back pinned (A/B vs paired: the
+    write-back saving shrinks geometrically past g=2 at small N but
+    wins at N>=4096 — what pair='auto' encodes)."""
+    return probe_knn(iters, npoints, pair=4, gather="fused")
 
 
 def probe_knn_nogather(iters: int, npoints: int = 1024) -> float:
@@ -383,6 +395,7 @@ PROBES = {
     "knn_hybrid": probe_knn_hybrid,
     "knn_hybrid_quad": probe_knn_hybrid_quad,
     "knn_fusedgather": probe_knn_fusedgather,
+    "knn_stacked": probe_knn_stacked,
     "knn_stacked_quad": probe_knn_stacked_quad,
     "knn_xla": probe_knn_xla,
     "ball": probe_ball,
@@ -398,8 +411,8 @@ PROBES = {
 # probes whose cost depends on the raw point count (--npoints)
 _NPOINT_PROBES = (
     "grouping", "fps", "knn", "knn_single", "knn_quad", "knn_nogather",
-    "knn_hybrid", "knn_hybrid_quad", "knn_fusedgather", "knn_stacked_quad",
-    "knn_xla", "ball", "ball_evict", "ball_thresh",
+    "knn_hybrid", "knn_hybrid_quad", "knn_fusedgather", "knn_stacked",
+    "knn_stacked_quad", "knn_xla", "ball", "ball_evict", "ball_thresh",
 )
 
 

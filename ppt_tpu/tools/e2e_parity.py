@@ -208,15 +208,11 @@ def _dims(flags) -> dict:
     return dims
 
 
-def build_torch_model(flags, classnames):
-    """The reference ULIP_WITH_IMAGE with a PointTransformer tower —
-    ULIP_PointBERT (``ULIP_models.py:443-459``) minus its hard-coded yaml
-    path / checkpoint IO, so dims are parameterizable for the synthetic
-    stand-in. Returns the eval-mode torch module."""
-    import torch
-
-    ulip_models, pe_mod = _import_reference()
-    dims = _dims(flags)
+def _make_cfg(dims):
+    """PointTransformer config object from ``_dims`` — the ONE place the
+    field set lives (build_torch_model and the partseg freeze-rule trunk
+    in ``_torch_trainable_names`` must agree on it exactly, or the
+    ckpt-membership freeze test silently mis-partitions)."""
 
     class Cfg:
         trans_dim = dims["trans_dim"]
@@ -228,12 +224,27 @@ def build_torch_model(flags, classnames):
         num_group = dims["num_group"]
         encoder_dims = dims["encoder_dims"]
 
+    return Cfg()
+
+
+def build_torch_model(flags, classnames):
+    """The reference ULIP_WITH_IMAGE with a PointTransformer tower —
+    ULIP_PointBERT (``ULIP_models.py:443-459``) minus its hard-coded yaml
+    path / checkpoint IO, so dims are parameterizable for the synthetic
+    stand-in. Returns the eval-mode torch module."""
+    import torch
+
+    ulip_models, pe_mod = _import_reference()
+    dims = _dims(flags)
+
     torch.manual_seed(flags.seed)
     if flags.task == "partseg":
-        point_encoder = pe_mod.PointTransformer_partseg(Cfg(), args=None)
+        point_encoder = pe_mod.PointTransformer_partseg(
+            _make_cfg(dims), args=None
+        )
         pc_feat_dims = 128  # ULIP_models.py:530
     else:
-        point_encoder = pe_mod.PointTransformer(Cfg(), args=None)
+        point_encoder = pe_mod.PointTransformer(_make_cfg(dims), args=None)
         pc_feat_dims = 2 * dims["trans_dim"]
     with _cpu_cuda():
         model = ulip_models.ULIP_WITH_IMAGE(
@@ -614,21 +625,11 @@ def _torch_trainable_names(flags, tmodel):
     pretrain_point_model_params: freeze``)."""
     if flags.task == "partseg":
         _, pe_mod = _import_reference()
-        dims = _dims(flags)
-
-        class Cfg:
-            trans_dim = dims["trans_dim"]
-            depth = dims["depth"]
-            drop_path_rate = 0.0
-            cls_dim = 40
-            num_heads = dims["num_heads"]
-            group_size = dims["group_size"]
-            num_group = dims["num_group"]
-            encoder_dims = dims["encoder_dims"]
-
         trunk = {
             "point_encoder." + k
-            for k in pe_mod.PointTransformer(Cfg(), args=None).state_dict()
+            for k in pe_mod.PointTransformer(
+                _make_cfg(_dims(flags)), args=None
+            ).state_dict()
         }
         return [
             n

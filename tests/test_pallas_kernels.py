@@ -396,6 +396,20 @@ class TestExtractionVariants:
         np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_s))
         np.testing.assert_array_equal(np.asarray(nb_f), np.asarray(nb_s))
 
+    def test_stacked_query_tile_clamp(self):
+        """VMEM-footprint invariant of the stacked gather: at
+        s_blk=256 x n_pad=2048 the unrolled gather groups' stack
+        intermediates measured 16.2-16.4 MB on-chip against the 16 MB
+        scoped-VMEM cap, so wide tiles clamp to 128 whenever
+        s_blk*n_pad exceeds the verified 256 Ki footprint — while the
+        two on-chip-benchmarked configs keep their tile."""
+        from ppt_tpu.kernels.group import _stacked_s_blk
+
+        assert _stacked_s_blk(256, 1024) == 256  # N=1024 benched config
+        assert _stacked_s_blk(64, 8192) == 64    # N=8192 benched config
+        assert _stacked_s_blk(256, 2048) == 128  # the on-chip OOM shape
+        assert _stacked_s_blk(128, 4096) == 128  # already narrow: kept
+
     def test_knn_invalid_gather_mode_raises(self, rng):
         from ppt_tpu.kernels.group import knn_gather
 
