@@ -233,6 +233,29 @@ def test_svd_output_dim_truncation_and_validation():
                         output_dim=8)
 
 
+def test_record_cache_loads_without_ogb(tmp_path):
+    """dataset_base.py:62-94 cache semantics: a pre-existing record
+    cache satisfies construction with NO raw reader (and hence no ogb)
+    — the workflow where records were cached on a machine that has the
+    deps and shipped to one that doesn't."""
+    import pickle
+
+    rng = np.random.RandomState(9)
+    recs = [_random_graph(rng, 5, 7)]
+    d = tmp_path / "molhiv" / "training"
+    d.mkdir(parents=True)
+    with open(d / "records.pkl", "wb") as f:
+        pickle.dump(recs, f)
+    ds = OGBGraphDataset(name="molhiv", split="training", svd=True,
+                         cache_dir=str(tmp_path),
+                         rng=np.random.RandomState(10))
+    assert len(ds) == 1 and ds[0]["svd_encodings"].shape == (5, 16)
+    # absent cache still gates on ogb
+    with pytest.raises(ImportError, match="ogb"):
+        OGBGraphDataset(name="molhiv", split="validation",
+                        cache_dir=str(tmp_path))
+
+
 def test_ogb_reader_gates_are_explicit():
     with pytest.raises(ImportError, match="ogb"):
         read_ogb_records("molhiv", "/nonexistent", "training")
