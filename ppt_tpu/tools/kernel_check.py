@@ -133,6 +133,41 @@ def main() -> int:
     err8 = float(np.max(np.abs(np.asarray(nbr8) - want_n8)))
     check("knn_gather.nbr_n8192", err8 < 1e-5, f"max abs err {err8:.2e}")
 
+    # --- stacked gather at the clamped-tile shape (r5): s_blk=256 x
+    # n_pad=2048 overflowed the 16 MB scoped-VMEM stack before the
+    # _stacked_s_blk clamp; this row pins compile + exactness there ---
+    xyz2 = jnp.asarray(rng.rand(4, 2048, 3).astype(np.float32))
+    cen2 = xyz2[:, :G, :]
+    idx2, nbr2 = jax.jit(
+        lambda x, c: knn_gather(K, x, c, gather="stacked")
+    )(xyz2, cen2)
+    want2 = np.asarray(jax.jit(
+        lambda x, c: ops.knn_point(K, x, c)
+    )(xyz2, cen2))
+    got2 = np.asarray(idx2)
+    mismatch2 = np.sort(got2, -1) != np.sort(want2, -1)
+    n_mm2 = int(mismatch2.sum())
+    if n_mm2:  # tie-aware, like the flagship-shape check above
+        xyz2_np, cen2_np = np.asarray(xyz2), np.asarray(cen2)
+        worst2 = 0.0
+        for b, qidx in zip(*np.nonzero(mismatch2.any(-1))):
+            c = cen2_np[b, qidx]
+            dg = np.sort(((xyz2_np[b, got2[b, qidx]] - c) ** 2).sum(-1))
+            dw = np.sort(((xyz2_np[b, want2[b, qidx]] - c) ** 2).sum(-1))
+            worst2 = max(worst2, float(np.max(np.abs(dg - dw))))
+        check("knn_gather.idx_stacked_n2048", worst2 < 1e-5,
+              f"{n_mm2} set mismatches, max dist delta {worst2:.2e}")
+    else:
+        check("knn_gather.idx_stacked_n2048", True, "exact")
+    want_n2 = np.asarray(
+        jax.jit(lambda x, c, i: ops.index_points(x, i) - c[:, :, None, :])(
+            xyz2, cen2, idx2
+        )
+    )
+    err2 = float(np.max(np.abs(np.asarray(nbr2) - want_n2)))
+    check("knn_gather.nbr_stacked_n2048", err2 < 1e-5,
+          f"max abs err {err2:.2e}")
+
     # --- ball_query_gather vs ops.query_ball_point (exact indices) ---
     radius = 0.2
     idx_b, grp_b = jax.jit(
