@@ -172,8 +172,15 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
+    import sys
+
     import jax
 
+    # the flagship builder lives in the repo-root driver module; make the
+    # CLI work from any cwd
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if root not in sys.path:
+        sys.path.insert(0, root)
     import __graft_entry__ as graft
     from flax import serialization
 
