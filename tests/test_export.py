@@ -67,6 +67,24 @@ def test_symbolic_batch(tiny):
     np.testing.assert_allclose(out2, ref[:2], atol=1e-4)
 
 
+def test_cli_main_writes_artifact_weights_meta(tmp_path):
+    """The CLI path end-to-end: artifact + weights + meta land on disk
+    and the artifact is loadable."""
+    from ppt_tpu.tools.export import main
+
+    out = os.path.join(tmp_path, "exp")
+    main(["--out", out, "--tiny", "--batch", "2", "--npoints", "128"])
+    art = os.path.join(out, "serve_logits.jaxexport")
+    assert os.path.getsize(art) > 0
+    assert os.path.getsize(os.path.join(out, "weights.msgpack")) > 0
+    import json
+
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["baked_weights"] is False
+    assert meta["platforms"] == ["cpu"]
+    assert load_exported(art).in_avals  # deserializes
+
+
 def test_ckpt_restore_changes_logits(tiny, tmp_path):
     """A checkpoint whose prompt tokens differ must change the exported
     text constant (i.e. the restore really lands in the graph)."""
