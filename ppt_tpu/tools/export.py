@@ -170,6 +170,12 @@ def main(argv=None):
         "--tiny", action="store_true",
         help="tiny model (CI/smoke; same code path)",
     )
+    ap.add_argument(
+        "--measure", type=int, default=0, metavar="N",
+        help="after exporting, load the artifact back and time N serving "
+        "calls (weights device-resident; completion forced by a scalar "
+        "fetch — CLAUDE.md timing-truth); prints a latency JSON line",
+    )
     args = ap.parse_args(argv)
 
     import sys
@@ -232,6 +238,51 @@ def main(argv=None):
     with open(os.path.join(args.out, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
     print(json.dumps({"out": args.out, **meta}))
+
+    if args.measure:
+        # round-trip + latency: the PROFILE_r05 §7 measurement, repeatable
+        import time
+
+        import jax.numpy as jnp
+
+        loaded = load_exported(art)
+        pc = jax.numpy.asarray(
+            np.random.RandomState(1)
+            .rand(args.batch, n, 3)
+            .astype(np.float32)
+        )
+        if args.bake_weights:
+            call = jax.jit(loaded.call)
+            run = lambda: call(pc)
+        else:
+            dev_vars = jax.device_put(
+                jax.tree_util.tree_map(np.asarray, variables)
+            )
+            call = jax.jit(loaded.call)
+            run = lambda: call(dev_vars, pc)
+        warm = float(jnp.sum(run()))  # compile + correctness probe
+        times = []
+        for _ in range(args.measure):
+            t0 = time.time()
+            _ = float(jnp.sum(run()))
+            times.append(time.time() - t0)
+        med = sorted(times)[len(times) // 2]
+        print(
+            json.dumps(
+                {
+                    "surface": "exported_serving_latency",
+                    "batch": args.batch,
+                    "npoints": n,
+                    "median_latency_ms": round(med * 1000, 2),
+                    "clouds_per_sec": round(args.batch / med, 1),
+                    "spread_pct": round(
+                        100 * (max(times) - min(times)) / med, 1
+                    ),
+                    "reps": args.measure,
+                    "logit_sum_probe": warm,
+                }
+            )
+        )
 
 
 if __name__ == "__main__":
