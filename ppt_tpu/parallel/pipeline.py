@@ -262,6 +262,15 @@ def _run_pipelined(
     tap_layers=None,
 ):
     """Validate, stack the blocks, and run the shard_mapped schedule."""
+    if pp_axis not in mesh.shape:
+        raise ValueError(
+            f"mesh has no '{pp_axis}' axis (axes: {tuple(mesh.shape)})"
+        )
+    if dp_axis and dp_axis not in mesh.shape:
+        raise ValueError(
+            f"mesh has no '{dp_axis}' axis (axes: {tuple(mesh.shape)}); "
+            "pass dp_axis=None for a pp-only mesh"
+        )
     pp_size = mesh.shape[pp_axis]
     if cfg.depth % pp_size:
         raise ValueError(f"depth {cfg.depth} not divisible by pp={pp_size}")

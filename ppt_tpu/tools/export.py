@@ -46,6 +46,32 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+def jnp_shape(a):
+    return tuple(np.shape(a))
+
+
+def jnp_dtype(a):
+    return getattr(a, "dtype", None) or np.asarray(a).dtype
+
+
+def serving_variables(variables) -> dict:
+    """The subset of variables the serving graph actually reads: the
+    point tower + projection + logit scale (+ its BN stats). The text
+    tower and prompt learner are baked into the graph as a constant, so
+    shipping their ~weights would be dead payload at serve time (flax
+    only materializes submodule params on use, so the pruned tree
+    applies cleanly through ``encode_pc``)."""
+    keep = ("point_encoder", "pc_projection", "logit_scale")
+    out = {
+        "params": {
+            k: variables["params"][k] for k in keep if k in variables["params"]
+        }
+    }
+    if variables.get("batch_stats"):
+        out["batch_stats"] = variables["batch_stats"]
+    return out
+
+
 def build_serving_fn(model, variables, prompts, *, bake_weights: bool):
     """Returns ``(fn, example_args)`` for the eval ``pc -> logits`` path
     with the text embeddings precomputed as a graph constant."""
@@ -70,14 +96,15 @@ def build_serving_fn(model, variables, prompts, *, bake_weights: bool):
         pc_embed = model.apply(v, pc, method="encode_pc")
         return scale * pc_embed @ text_embed.T
 
+    serve_vars = serving_variables(variables)
     if bake_weights:
-        host_vars = jax.tree_util.tree_map(np.asarray, variables)
+        host_vars = jax.tree_util.tree_map(np.asarray, serve_vars)
 
         def serve_baked(pc):
             return serve(host_vars, pc)
 
         return serve_baked, None
-    return serve, variables
+    return serve, serve_vars
 
 
 def export_serving(
@@ -110,9 +137,9 @@ def export_serving(
     exp = jexport.export(jax.jit(fn), platforms=platforms)
     if var_arg is None:
         return exp(pc_spec)
+    # specs from metadata only — never pull device arrays to host
     var_specs = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
-        jax.tree_util.tree_map(np.asarray, var_arg),
+        lambda a: jax.ShapeDtypeStruct(jnp_shape(a), jnp_dtype(a)), var_arg
     )
     return exp(var_specs, pc_spec)
 
@@ -158,6 +185,19 @@ def main(argv=None):
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--ckpt", default="", help="checkpoint_best.msgpack")
     ap.add_argument("--head_type", type=int, default=0)
+    ap.add_argument(
+        "--pretrained_dir", default="",
+        help="directory of converted backbone msgpacks (ckpt_convert "
+        "output). REQUIRED for a faithful artifact from a training "
+        "checkpoint: checkpoints persist only the TRAINABLE partition "
+        "(train/checkpoint.py:35-49), so the frozen towers must be "
+        "loaded here exactly as the training run loaded them "
+        "(tasks/cls.py:136-147)",
+    )
+    ap.add_argument(
+        "--ulip2", action="store_true",
+        help="pick the ULIP-2 backbone file, as in training",
+    )
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--npoints", type=int, default=1024)
     ap.add_argument(
@@ -196,6 +236,29 @@ def main(argv=None):
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jax.numpy.asarray(pc0), prompts
     )
+    if args.pretrained_dir:
+        # frozen towers first (the training run's own load order):
+        # checkpoints carry only the trainable partition
+        import types
+
+        from ppt_tpu.train.checkpoint import load_pretrained_backbones
+
+        variables = load_pretrained_backbones(
+            types.SimpleNamespace(
+                model="ULIP_PointBERT",
+                ulip2=args.ulip2,
+                pretrained_dir=args.pretrained_dir,
+            ),
+            variables,
+        )
+    elif args.ckpt:
+        print(
+            "WARNING: --ckpt without --pretrained_dir: the frozen "
+            "towers stay at random init, the artifact will NOT "
+            "reproduce the trained model (checkpoints persist only "
+            "the trainable partition)",
+            file=sys.stderr,
+        )
     if args.ckpt:
         variables = _restore_ckpt(
             variables, args.ckpt, args.head_type, "cls"
@@ -214,11 +277,14 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     art = os.path.join(args.out, "serve_logits.jaxexport")
     save_exported(exported, art)
+    serve_vars = serving_variables(variables)
     if not args.bake_weights:
+        # only what the graph reads: point tower + projection + scale
+        # (+ BN stats) — the text tower is a baked constant
         with open(os.path.join(args.out, "weights.msgpack"), "wb") as f:
             f.write(
                 serialization.to_bytes(
-                    jax.tree_util.tree_map(np.asarray, variables)
+                    jax.tree_util.tree_map(np.asarray, serve_vars)
                 )
             )
     labels_path = os.path.join(
@@ -255,9 +321,8 @@ def main(argv=None):
             call = jax.jit(loaded.call)
             run = lambda: call(pc)
         else:
-            dev_vars = jax.device_put(
-                jax.tree_util.tree_map(np.asarray, variables)
-            )
+            # already device-resident after init/restore; no host trip
+            dev_vars = jax.device_put(serve_vars)
             call = jax.jit(loaded.call)
             run = lambda: call(dev_vars, pc)
         warm = float(jnp.sum(run()))  # compile + correctness probe

@@ -16,6 +16,7 @@ from ppt_tpu.tools.export import (
     export_serving,
     load_exported,
     save_exported,
+    serving_variables,
 )
 
 
@@ -31,6 +32,8 @@ def tiny():
 
 
 def test_roundtrip_matches_apply(tiny, tmp_path):
+    """The artifact takes the PRUNED serving tree (text tower baked,
+    not shipped) and still reproduces the FULL model's logits."""
     model, prompts, variables, pc, ref = tiny
     exp = export_serving(
         model, variables, prompts, batch=4, npoints=128
@@ -38,10 +41,15 @@ def test_roundtrip_matches_apply(tiny, tmp_path):
     path = os.path.join(tmp_path, "serve.jaxexport")
     save_exported(exp, path)
     loaded = load_exported(path)
-    host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    sv = serving_variables(variables)
+    assert "text" not in sv["params"] and "prompt_learner" not in sv["params"]
+    host_vars = jax.tree_util.tree_map(np.asarray, sv)
     out = np.asarray(loaded.call(host_vars, np.asarray(pc)))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=1e-4)
+    # the full tree no longer matches the calling convention
+    with pytest.raises((ValueError, TypeError)):
+        loaded.call(jax.tree_util.tree_map(np.asarray, variables), np.asarray(pc))
 
 
 def test_baked_weights_self_contained(tiny, tmp_path):

@@ -109,6 +109,10 @@ def test_validation_errors(setup):
         pipelined_trunk_features(
             variables, pts, CFG, mesh, dp_axis="data", n_micro=3
         )
+    with pytest.raises(ValueError, match="has no 'pp' axis"):
+        pipelined_trunk_features(variables, pts, CFG, mesh, pp_axis="pp")
+    with pytest.raises(ValueError, match="pass dp_axis=None"):
+        pipelined_trunk_features(variables, pts, CFG, mesh, dp_axis="dp")
 
 
 SEG_CFG = PointBertConfig(
