@@ -65,6 +65,20 @@ def test_forward_n_micro_invariant(setup):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-5)
 
 
+def test_forward_pp2_mesh(setup):
+    """A different stage count (pp=2, two blocks per stage on a 4x2
+    mesh) gives the same result — the schedule is pp-size generic."""
+    model, variables, pts, _ = setup
+    ref = model.apply(variables, pts, train=False)
+    mesh2 = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "pipe"))
+    out = jax.jit(
+        lambda v, x: pipelined_trunk_features(
+            v, x, CFG, mesh2, dp_axis="data"
+        )
+    )(variables, pts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_grads_match_sequential(setup):
     """Backprop through ppermute/psum: late-block grads (the head_type
     1-3 unfreeze surface, ULIP_models.py:461-470) and embedding grads
